@@ -1,0 +1,17 @@
+"""NumPy sketch kernels with a canonical binary codec.
+
+Import order matters only for decoder registration; importing this package
+registers every kind."""
+
+from .base import Sketch, merge_bytes, sketch_from_bytes  # noqa: F401
+from .bloom import BloomFilter, SparseBloomFilter, pick_representation  # noqa: F401
+from .bottomk import BottomKSketch  # noqa: F401
+from .cms import CountMinSketch  # noqa: F401
+from .counting import CountingBloomFilter  # noqa: F401
+from .hll import HyperLogLog  # noqa: F401
+from .kll import KLLSketch  # noqa: F401
+from .layered import LayeredBloomFilter  # noqa: F401
+from .minhash import MinHashSketch  # noqa: F401
+from .stable import StableBloomFilter  # noqa: F401
+from .tdigest import TDigest  # noqa: F401
+from . import setops  # noqa: F401

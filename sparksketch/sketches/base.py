@@ -1,0 +1,92 @@
+"""Canonical sketch codec + registry.
+
+Every sketch serializes to ``bytes`` with a fixed little-endian layout:
+
+    magic 'SKS1' (4B) | version u8 | kind u8 | flags u16 | kind-specific body
+
+The codec is *canonical*: a given sketch state has exactly one byte
+representation, and all mergeable sketch kinds use bitwise-commutative merge
+ops (OR / sum / max / min / union-by-key), so any merge tree over the same
+input multiset produces byte-identical output (BASELINE.json north_rule).
+Order-sensitive kinds (stable BF) and canonical-but-history-dependent kinds
+(KLL, t-digest) document their weaker guarantee in their own modules.
+
+Reference merge semantics: StableBloomFilter.java:106-108 (merge(BloomFilter)
+== union of set bits); commons-collections4 BloomFilter contract.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable, ClassVar
+
+MAGIC = b"SKS1"
+VERSION = 1
+_HEADER = struct.Struct("<4sBBH")
+
+# kind ids
+KIND_BLOOM = 1
+KIND_BLOOM_SPARSE = 2
+KIND_COUNTING = 3
+KIND_STABLE = 4
+KIND_LAYERED = 5
+KIND_HLL = 6
+KIND_CMS = 7
+KIND_KLL = 8
+KIND_TDIGEST = 9
+KIND_BOTTOMK = 10
+KIND_MINHASH = 11
+
+_REGISTRY: dict[int, Callable[[memoryview], "Sketch"]] = {}
+
+
+def register(kind: int, decoder: Callable[[memoryview], "Sketch"]) -> None:
+    _REGISTRY[kind] = decoder
+
+
+def pack_header(kind: int) -> bytes:
+    return _HEADER.pack(MAGIC, VERSION, kind, 0)
+
+
+def sketch_from_bytes(data: bytes | bytearray | memoryview) -> "Sketch":
+    mv = memoryview(data)
+    magic, version, kind, _flags = _HEADER.unpack_from(mv, 0)
+    if magic != MAGIC:
+        raise ValueError("not a sketch: bad magic")
+    if version != VERSION:
+        raise ValueError(f"unsupported sketch version {version}")
+    try:
+        decoder = _REGISTRY[kind]
+    except KeyError:
+        raise ValueError(f"unknown sketch kind {kind}") from None
+    return decoder(mv[_HEADER.size:])
+
+
+def merge_bytes(a: bytes | None, b: bytes | None) -> bytes | None:
+    """Associative merge over serialized sketches; ``None``/empty is identity.
+
+    This is the combiner handed to ``rdd.treeAggregate`` and the reduce step
+    of grouped merges.
+    """
+    if not a:
+        return b
+    if not b:
+        return a
+    sa = sketch_from_bytes(a)
+    sb = sketch_from_bytes(b)
+    sa.merge(sb)
+    return sa.to_bytes()
+
+
+class Sketch:
+    """Common interface: merge is in-place and must be commutative +
+    associative for all kinds except the stable filter (which documents
+    ordered-replay semantics instead)."""
+
+    KIND: ClassVar[int] = 0
+
+    def merge(self, other: "Sketch") -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def to_bytes(self) -> bytes:  # pragma: no cover - interface
+        raise NotImplementedError

@@ -1,0 +1,93 @@
+"""Counting Bloom filter (commons-collections4 CountingBloomFilter contract;
+SURVEY.md Table B3).  Cell array of int64 counts; ``add`` increments the k
+cells per item, ``subtract`` decrements (supporting deletion); a validity flag
+trips on any cell underflow.  Merge = elementwise ``+`` — associative and
+commutative, so distributed merges are byte-identical."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..hashing import edh_indices
+from ..shape import Shape
+from .base import KIND_COUNTING, Sketch, pack_header, register
+
+_HDR = struct.Struct("<QIB")
+
+
+class CountingBloomFilter(Sketch):
+    KIND = KIND_COUNTING
+
+    def __init__(self, shape: Shape, cells: np.ndarray | None = None,
+                 valid: bool = True) -> None:
+        self.shape = shape
+        if cells is None:
+            cells = np.zeros(shape.m, dtype=np.int64)
+        self.cells = cells
+        self.valid = valid
+
+    def _unique_idx_counts(self, h1: np.ndarray, h2: np.ndarray):
+        """Per-item *distinct* probe cells (commons `uniqueIndices` semantics:
+        an item hitting the same cell twice counts once), then aggregate the
+        whole batch into (cells, counts)."""
+        idx = edh_indices(h1, h2, self.shape.k, self.shape.m)
+        # row-wise dedup: sort each row, mark first occurrences
+        srt = np.sort(idx, axis=1)
+        first = np.ones_like(srt, dtype=bool)
+        first[:, 1:] = srt[:, 1:] != srt[:, :-1]
+        flat = srt[first]
+        return np.bincount(flat, minlength=self.shape.m).astype(np.int64)
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        if len(h1) == 0:
+            return
+        self.cells += self._unique_idx_counts(h1, h2)
+
+    def subtract_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        if len(h1) == 0:
+            return
+        self.cells -= self._unique_idx_counts(h1, h2)
+        if (self.cells < 0).any():
+            self.valid = False
+
+    def merge(self, other: Sketch) -> None:
+        if not isinstance(other, CountingBloomFilter) or other.shape != self.shape:
+            raise ValueError("shape mismatch in counting merge")
+        self.cells += other.cells
+        self.valid = self.valid and other.valid
+
+    def subtract(self, other: "CountingBloomFilter") -> None:
+        if other.shape != self.shape:
+            raise ValueError("shape mismatch in counting subtract")
+        self.cells -= other.cells
+        if (self.cells < 0).any():
+            self.valid = False
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        n = len(h1)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        idx = edh_indices(h1, h2, self.shape.k, self.shape.m)
+        return (self.cells[idx] > 0).all(axis=1)
+
+    def cardinality(self) -> int:
+        return int(np.count_nonzero(self.cells))
+
+    def estimate_n(self) -> float:
+        return self.shape.estimate_n(self.cardinality())
+
+    def to_bytes(self) -> bytes:
+        return (pack_header(self.KIND)
+                + _HDR.pack(self.shape.m, self.shape.k, 1 if self.valid else 0)
+                + self.cells.astype("<i8", copy=False).tobytes())
+
+    @staticmethod
+    def _decode(body: memoryview) -> "CountingBloomFilter":
+        m, k, valid = _HDR.unpack_from(body, 0)
+        cells = np.frombuffer(body[_HDR.size:], dtype="<i8", count=m).copy()
+        return CountingBloomFilter(Shape(m=int(m), k=int(k)), cells, bool(valid))
+
+
+register(KIND_COUNTING, CountingBloomFilter._decode)
