@@ -1,38 +1,492 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end slice (SURVEY.md §7) at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — exact DuckDB SQL for the oracle-checkable subset; sketch
+queries are sized for the *exact regime* at sf0.01 (FIXTURES.md §2): Bloom
+with m >> n => zero FP => membership == IN-semi-join; CMS with d*w >>
+distinct² => exact grouped counts; KLL with capacity >= n => exact
+quantile_cont; bottom-k with k >= distinct => exact set algebra.
+Approximate-regime queries are registered without oracle (rows-only) or as
+within-published-bound boolean outputs.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distinct conversations + membership over sf0.001
+    transcripts — exercises shape math, JVM hashing, mapInPandas partials,
+    treeAggregate merge, and estimate in one slice."""
+    from sparksketch.agg import (BloomSpec, HLLSpec, sketch_dataframe,
+                                 with_might_contain)
+    from sparksketch.shape import Shape
+    from sparksketch.transcripts import transcripts_from_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    tr = transcripts_from_events(spark, sf_dir)
+    hll = sketch_dataframe(tr, HLLSpec(p=14), ["conv_id"])
+    bloom = sketch_dataframe(tr, BloomSpec(Shape.from_np(100_000, 1e-9)),
+                             ["conv_id"])
+    exact = tr.select("conv_id").distinct().count()
+    probed = with_might_contain(tr.select("conv_id").distinct(),
+                                bloom.to_bytes(), ["conv_id"])
+    members = probed.filter("might_contain").count()
+    return spark.createDataFrame(
+        [("hll_distinct_convs", float(round(hll.estimate()))),
+         ("bloom_estimate_n", float(round(bloom.estimate_n()))),
+         ("exact_distinct_convs", float(exact)),
+         ("bloom_members", float(members))],
+        "metric string, value double")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_bloom_semijoin_customers(spark, sf_dir):
+    """A6/B9 membership as distributed bloom semi-join (exact regime)."""
+    from sparksketch.agg import bloom_semijoin
+    customer = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    return (bloom_semijoin(customer, ["c_custkey"], orders, ["o_custkey"],
+                           expected_n=2_000_000, fpp=1e-9)
+            .select("c_custkey"))
+
+
+def q_counting_subtract_members(spark, sf_dir):
+    """B3 CountingBloomFilter add/subtract: customers with >=1 non-'F'
+    order = counting(all orders) - counting('F' orders), then membership."""
+    from sparksketch.agg import (CountingBloomSpec, build_partials,
+                                 tree_aggregate, with_might_contain)
+    from sparksketch.shape import Shape
+    from sparksketch.sketches import sketch_from_bytes
+    customer = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    # m ~= 4.8M cells; int64 cells => ~38MB per partial sketch.  fp(200k
+    # inserts) ~ 1e-7 => ~0 expected false members among the probes.
+    spec = CountingBloomSpec(Shape.from_np(200_000, 1e-7))
+    all_b = tree_aggregate(build_partials(orders, spec, ["o_custkey"]))
+    f_b = tree_aggregate(build_partials(
+        orders.filter(F.col("o_orderstatus") == "F"), spec, ["o_custkey"]))
+    remaining = sketch_from_bytes(all_b)
+    if f_b is not None:
+        remaining.subtract(sketch_from_bytes(f_b))
+    flagged = with_might_contain(customer.select("c_custkey"),
+                                 remaining.to_bytes(), ["c_custkey"])
+    return flagged.filter("might_contain").select("c_custkey")
+
+
+def q_kmv_distinct_convs(spark, sf_dir):
+    """Bottom-k (KMV) distinct conversations — exact below k."""
+    from sparksketch.agg import BottomKSpec, sketch_dataframe
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    sk = sketch_dataframe(tr, BottomKSpec(k=1 << 18), ["conv_id"])
+    return spark.createDataFrame([(int(round(sk.distinct_estimate())),)],
+                                 "distinct_convs bigint")
+
+
+def q_cms_event_type_counts(spark, sf_dir):
+    """Count-min in the exact regime: per-event-type counts."""
+    from sparksketch.agg import CMSSpec, cms_lookup, sketch_dataframe
+    ev = _tbl(spark, sf_dir, "events")
+    sk = sketch_dataframe(ev, CMSSpec(w=1 << 16, d=5), ["event_type"])
+    return (cms_lookup(ev.select("event_type").distinct(), sk.to_bytes(),
+                       ["event_type"], out_col="cnt")
+            .select("event_type", F.col("cnt").cast("long").alias("cnt")))
+
+
+def q_cms_tool_counts(spark, sf_dir):
+    """Heavy-hitter tool usage over transcripts via count-min."""
+    from sparksketch.agg import CMSSpec, cms_lookup, sketch_dataframe
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir).filter(F.col("tool").isNotNull())
+    sk = sketch_dataframe(tr, CMSSpec(w=1 << 16, d=5), ["tool"])
+    return (cms_lookup(tr.select("tool").distinct(), sk.to_bytes(),
+                       ["tool"], out_col="cnt")
+            .select("tool", F.col("cnt").cast("long").alias("cnt")))
+
+
+def q_kll_event_value_quantiles(spark, sf_dir):
+    """KLL in the exact regime (capacity >= n): quantile_cont semantics."""
+    from sparksketch.agg import KLLSpec, sketch_dataframe
+    ev = _tbl(spark, sf_dir, "events")
+    n = ev.count()
+    sk = sketch_dataframe(ev, KLLSpec(k=max(2 * n, 64), col="value"),
+                          ["event_id"], canonical=True)
+    rows = [(float(q), float(round(sk.quantile(q), 6))) for q in QS]
+    return spark.createDataFrame(rows, "q double, value double")
+
+
+def q_kll_lineitem_qty_quantiles(spark, sf_dir):
+    from sparksketch.agg import KLLSpec, sketch_dataframe
+    li = _tbl(spark, sf_dir, "lineitem")
+    n = li.count()
+    sk = sketch_dataframe(li, KLLSpec(k=max(2 * n, 64), col="l_quantity"),
+                          ["l_orderkey"], canonical=True)
+    rows = [(float(q), float(round(sk.quantile(q), 6))) for q in QS]
+    return spark.createDataFrame(rows, "q double, qty double")
+
+
+def q_tdigest_price_bound(spark, sf_dir):
+    """t-digest quantiles within published tolerance of exact (boolean)."""
+    from sparksketch.agg import TDigestSpec, sketch_dataframe
+    li = _tbl(spark, sf_dir, "lineitem")
+    sk = sketch_dataframe(li, TDigestSpec(compression=200, col="l_extendedprice"),
+                          ["l_orderkey"], canonical=True)
+    exact = li.approxQuantile("l_extendedprice", list(QS), 0.0)
+    n = sk.n
+    ok = True
+    vals = np.array([r.l_extendedprice for r in
+                     li.select("l_extendedprice").collect()])
+    for q in QS:
+        est = sk.quantile(q)
+        true_rank = float((vals <= est).mean())
+        if abs(true_rank - q) > max(0.01, 4 * q * (1 - q) / 200):
+            ok = False
+    return spark.createDataFrame([(bool(ok), int(n))],
+                                 "all_within_bound boolean, n bigint")
+
+
+def q_hll_distinct_users_bound(spark, sf_dir):
+    """HLL estimate within 3-sigma published bound (boolean) + exact."""
+    from sparksketch.agg import HLLSpec, sketch_dataframe
+    ev = _tbl(spark, sf_dir, "events")
+    sk = sketch_dataframe(ev, HLLSpec(p=14), ["user_id"])
+    exact = ev.select("user_id").distinct().count()
+    ok = abs(sk.estimate() - exact) <= max(3 * sk.rel_std_error() * exact, 1)
+    return spark.createDataFrame([(bool(ok), int(exact))],
+                                 "est_within_bound boolean, exact_distinct bigint")
+
+
+def q_layered_daily_distinct_users(spark, sf_dir):
+    """B4 layered filter keyed by epoch-day: per-layer distinct users
+    (exact regime)."""
+    from sparksketch.agg import LayeredBloomSpec, build_partials, tree_aggregate
+    from sparksketch.shape import Shape
+    from sparksketch.sketches import sketch_from_bytes
+    _utc(spark)
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long"))
+    shape = Shape.from_np(200_000, 1e-9)
+    blob = tree_aggregate(build_partials(
+        ev, LayeredBloomSpec(shape, layer_col="day"), ["user_id"]))
+    sk = sketch_from_bytes(blob)
+    rows = []
+    for day in sorted(sk.layers):
+        from sparksketch.sketches import BloomFilter
+        bf = BloomFilter(shape, sk.layers[day])
+        rows.append((int(day), int(round(bf.estimate_n()))))
+    return spark.createDataFrame(rows, "day bigint, distinct_users bigint")
+
+
+def q_setops_role_similarity(spark, sf_dir):
+    """B13 SetOperations over per-role text-fingerprint sets (exact via
+    bottom-k kept-hash sets): intersection/union/hamming/jaccard/cosine."""
+    from sparksketch.agg import BottomKSpec, grouped_sketch
+    from sparksketch.sketches import sketch_from_bytes
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    per_role = grouped_sketch(tr, ["role"], BottomKSpec(k=1 << 18), ["text"])
+    sets = {r.role: np.sort(sketch_from_bytes(bytes(r.sketch)).hashes)
+            for r in per_role.collect()}
+    rows = []
+    for ra in sorted(sets):
+        for rb in sorted(sets):
+            if ra < rb:
+                a, b = sets[ra], sets[rb]
+                inter = int(np.intersect1d(a, b).size)
+                union = int(a.size + b.size - inter)
+                rows.append((ra, rb, inter, union,
+                             int(a.size + b.size - 2 * inter),
+                             float(round(inter / union, 6)) if union else 0.0,
+                             float(round(inter / np.sqrt(a.size * b.size), 6))
+                             if a.size and b.size else 0.0))
+    return spark.createDataFrame(
+        rows, "role_a string, role_b string, inter bigint, union_cnt bigint, "
+              "hamming bigint, jaccard double, cosine double")
+
+
+def q_dup_text_counts(spark, sf_dir):
+    """Exact duplicate-text detection over transcripts (hash-groupBy)."""
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    return (tr.groupBy("text").agg(F.count("*").alias("cnt"))
+              .filter(F.col("cnt") > 1)
+              .select("text", "cnt"))
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    """Exact dedup: min doc_id per distinct text."""
+    from sparksketch.dedup import exact_dedup
+    return exact_dedup(_tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_token_count_documents(spark, sf_dir):
+    from sparksketch.text import with_token_count
+    docs = _tbl(spark, sf_dir, "documents")
+    return (with_token_count(docs)
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens")))
+
+
+def q_quality_features_documents(spark, sf_dir):
+    from sparksketch.text import with_quality_features
+    docs = _tbl(spark, sf_dir, "documents")
+    return (with_quality_features(docs)
+            .select("doc_id",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "distinct_token_ratio"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram shingle jaccard pairs >= 0.5 over documents."""
+    from sparksketch.dedup import exact_jaccard_pairs
+    docs = _tbl(spark, sf_dir, "documents")
+    return (exact_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                                threshold=0.5)
+            .select(F.col("id_a").alias("doc_a"),
+                    F.col("id_b").alias("doc_b"), "jaccard"))
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 vs the embedding of vec_id 0."""
+    from sparksketch.similarity import cosine_topk
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = np.array(emb.filter(F.col("vec_id") == 0)
+                 .select("embedding").first()[0], dtype=np.float64)
+    return cosine_topk(emb, q, k=10, exclude_id=0).select("vec_id", "sim")
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+def q_stable_dedup_partitions(spark, sf_dir):
+    """A1-A5 stable-BF ordered replay per conv partition (order-dependent =>
+    no SQL oracle; determinism asserted in pytest)."""
+    from sparksketch.agg import stable_build
+    from sparksketch.shape import Shape, StableShape
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    ss = StableShape.builder(Shape.from_np(2000, 1e-3)).set_max(3).build()
+    parts = stable_build(tr, ss, ["text"], "conv_id",
+                         ["conv_id", "turn_idx"], num_partitions=8)
+    return parts.select("pid", "rows")
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs with signature jaccard."""
+    from sparksketch.dedup import (lsh_candidate_pairs, minhash_signatures,
+                                   signature_jaccard)
+    docs = _tbl(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", n_perm=64, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=4)
+    return signature_jaccard(sigs, pairs, "doc_id")
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from sparksketch.dedup import simhash_near_dups
+    return simhash_near_dups(_tbl(spark, sf_dir, "documents"), "doc_id",
+                             max_hamming=6)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from sparksketch.dedup import embedding_near_dups
+    return embedding_near_dups(_tbl(spark, sf_dir, "embeddings"),
+                               threshold=0.8)
+
+
+def q_lang_id_documents(spark, sf_dir):
+    from sparksketch.text import with_lang_id
+    docs = _tbl(spark, sf_dir, "documents")
+    return (with_lang_id(docs).groupBy("lang_pred")
+            .agg(F.count("*").alias("cnt")))
+
+
+def q_multimodal_image_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> mapInPandas feature extract
+    (decode stubbed deterministically; see sparksketch/multimodal.py)."""
+    from sparksketch.multimodal import image_features, synthesize_media
+    media = synthesize_media(spark, n=64)
+    return image_features(media, fake=True).select(
+        "media_id", "mean_r", "mean_g", "mean_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bloom_semijoin_customers": q_bloom_semijoin_customers,
+        "counting_subtract_members": q_counting_subtract_members,
+        "kmv_distinct_convs": q_kmv_distinct_convs,
+        "cms_event_type_counts": q_cms_event_type_counts,
+        "cms_tool_counts": q_cms_tool_counts,
+        "kll_event_value_quantiles": q_kll_event_value_quantiles,
+        "kll_lineitem_qty_quantiles": q_kll_lineitem_qty_quantiles,
+        "tdigest_price_bound": q_tdigest_price_bound,
+        "hll_distinct_users_bound": q_hll_distinct_users_bound,
+        "layered_daily_distinct_users": q_layered_daily_distinct_users,
+        "setops_role_similarity": q_setops_role_similarity,
+        "dup_text_counts": q_dup_text_counts,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_count_documents": q_token_count_documents,
+        "quality_features_documents": q_quality_features_documents,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "stable_dedup_partitions": q_stable_dedup_partitions,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lang_id_documents": q_lang_id_documents,
+        "multimodal_image_features": q_multimodal_image_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the pre-registered views)
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPTS_CTE = """
+WITH t AS (
+SELECT
+  'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0')                AS conv_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+       AS INTEGER)                                                 AS turn_idx,
+  CASE CAST(event_id % 4 AS INTEGER)
+       WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+       WHEN 2 THEN 'tool' ELSE 'system' END                        AS role,
+  props                                                            AS text,
+  CASE WHEN event_id % 4 = 2 THEN event_type ELSE NULL END         AS tool,
+  ts                                                               AS ts
+FROM events
+)
+"""
+
+def _quantile_oracle(col: str, out: str, table: str) -> str:
+    # DuckDB quantile_cont requires constant parameters -> UNION ALL
+    parts = [
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"round(quantile_cont({col}, {q}), 6) AS {out} FROM {table}"
+        for q in QS
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bloom_semijoin_customers":
+            "SELECT c_custkey FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders)",
+        "counting_subtract_members":
+            "SELECT c_custkey FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')",
+        "kmv_distinct_convs":
+            _TRANSCRIPTS_CTE
+            + "SELECT count(DISTINCT conv_id) AS distinct_convs FROM t",
+        "cms_event_type_counts":
+            "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+        "cms_tool_counts":
+            _TRANSCRIPTS_CTE
+            + "SELECT tool, count(*) AS cnt FROM t WHERE tool IS NOT NULL "
+              "GROUP BY tool",
+        "kll_event_value_quantiles":
+            _quantile_oracle("value", "value", "events"),
+        "kll_lineitem_qty_quantiles":
+            _quantile_oracle("l_quantity", "qty", "lineitem"),
+        "tdigest_price_bound":
+            "SELECT true AS all_within_bound, count(*) AS n FROM lineitem",
+        "hll_distinct_users_bound":
+            "SELECT true AS est_within_bound, "
+            "count(DISTINCT user_id) AS exact_distinct FROM events",
+        "layered_daily_distinct_users":
+            "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "count(DISTINCT user_id) AS distinct_users FROM events "
+            "GROUP BY 1 ORDER BY 1",
+        "setops_role_similarity":
+            _TRANSCRIPTS_CTE + """
+, s AS (SELECT DISTINCT role, text FROM t),
+sz AS (SELECT role, count(*) AS c FROM s GROUP BY role),
+i AS (SELECT a.role AS role_a, b.role AS role_b, count(*) AS inter
+      FROM s a JOIN s b ON a.text = b.text AND a.role < b.role
+      GROUP BY 1, 2)
+SELECT p.role_a, p.role_b,
+       COALESCE(i.inter, 0) AS inter,
+       sa.c + sb.c - COALESCE(i.inter, 0) AS union_cnt,
+       sa.c + sb.c - 2 * COALESCE(i.inter, 0) AS hamming,
+       round(COALESCE(i.inter, 0) * 1.0
+             / (sa.c + sb.c - COALESCE(i.inter, 0)), 6) AS jaccard,
+       round(COALESCE(i.inter, 0) / sqrt(sa.c * sb.c), 6) AS cosine
+FROM (SELECT a.role AS role_a, b.role AS role_b
+      FROM sz a, sz b WHERE a.role < b.role) p
+LEFT JOIN i ON i.role_a = p.role_a AND i.role_b = p.role_b
+JOIN sz sa ON sa.role = p.role_a
+JOIN sz sb ON sb.role = p.role_b
+""",
+        "dup_text_counts":
+            _TRANSCRIPTS_CTE
+            + "SELECT text, count(*) AS cnt FROM t GROUP BY text "
+              "HAVING count(*) > 1",
+        "dedup_exact_documents":
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_count_documents":
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS n_tokens FROM documents",
+        "quality_features_documents": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(len(list_distinct(string_split(text, ' '))) * 1.0
+             / greatest(len(string_split(text, ' ')), 1), 6)
+           AS distinct_token_ratio
+FROM documents""",
+        "ngram_jaccard_pairs": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, greatest(len(w) - 2, 1) + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.c + sb.c - i), 6) AS jaccard
+FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.c + sb.c - i) >= 0.5
+""",
+        "ann_topk_cosine": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(qv AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(qv AS DOUBLE[]),
+                                          CAST(qv AS DOUBLE[])))), 5) AS sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    }

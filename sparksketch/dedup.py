@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: everything is expressed as joins/groupBys on *hashes* computed
+JVM-side; Python touches only fixed-width signature arrays through Arrow.
+At cluster scale the LSH band join is the workhorse: candidate generation is
+an equi-join on (band_id, band_hash) — shuffle keys are small ints, and the
+exact-verification join only sees the candidate pairs, never n^2."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sketches.minhash import perm_seeds
+from .text import tokens_col
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum id per distinct text (hash-groupBy; Catalyst turns
+    this into a partial+final agg, no row explosion)."""
+    return (df.groupBy(text_col)
+              .agg(F.min(id_col).alias(id_col))
+              .select(id_col))
+
+
+def exact_dedup_rows(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Full-row variant: keep the first row per text by window rank."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# -- shingles / n-grams (JVM expressions) -----------------------------------
+
+def shingles(df: DataFrame, id_col: str, text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, sh) word n-gram hashes, built entirely with JVM array
+    expressions: split -> transform(sequence) -> explode -> xxhash64."""
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("g"))
+              .select(id_col, F.xxhash64("g").alias("sh")))
+
+
+# -- MinHash signatures + LSH banding ---------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
+                       n_perm: int = 128, shingle_n: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """Per-document MinHash signature: (id, sig array<long>[n_perm]).
+
+    Shingle hashing is JVM-side; the per-doc min-reduction over n_perm
+    SplitMix64 re-mixes runs as one vectorized applyInPandas."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    seeds = perm_seeds(n_perm, seed)
+
+    def sig(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["sh"].to_numpy().view(np.uint64)
+        from .hashing import splitmix64
+        mat = splitmix64(h[:, None] ^ seeds[None, :])
+        mins = mat.min(axis=0).astype(np.int64)
+        return pd.DataFrame({id_col: [key[0]], "sig": [mins.tolist()]})
+
+    dtype = dict(df.dtypes)[id_col]
+    return sh.groupBy(id_col).applyInPandas(
+        sig, schema=f"`{id_col}` {dtype}, sig array<long>")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
+                        bands: int = 32, rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+
+    Bucket id = xxhash64(band slice); candidate generation is a self-join on
+    (band, bucket) — at scale, the join key distributes uniformly and the
+    per-bucket fan-out is bounded by near-dup cluster sizes."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = (sig_df.select(id_col, "sig", b)
+              .select(id_col, "band",
+                      F.xxhash64(F.slice("sig",
+                                         F.col("band") * rows_per_band + 1,
+                                         rows_per_band).cast("array<string>")
+                                 .cast("string")).alias("bucket")))
+    a = banded.alias("a")
+    c = banded.alias("c")
+    return (a.join(c, [F.col(f"a.band") == F.col(f"c.band"),
+                       F.col(f"a.bucket") == F.col(f"c.bucket"),
+                       F.col(f"a.{id_col}") < F.col(f"c.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"c.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def signature_jaccard(sig_df: DataFrame, pairs: DataFrame,
+                      id_col: str) -> DataFrame:
+    """Estimated jaccard for candidate pairs = fraction of equal signature
+    slots (JVM zip_with/filter/size arithmetic)."""
+    sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                         lambda v: v))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("est_jaccard", F.round(eq / F.size("sig_a"), 6))
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+# -- exact n-gram jaccard verification --------------------------------------
+
+def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        shingle_n: int = 1, threshold: float = 0.0,
+                        pairs: DataFrame | None = None) -> DataFrame:
+    """Exact token/shingle-set jaccard, via an inverted-index self-join.
+
+    With ``pairs`` given, only those candidates are verified (the scale
+    path after LSH); otherwise all co-occurring pairs are scored."""
+    sh = (shingles(df, id_col, text_col, shingle_n) if shingle_n > 1
+          else df.select(F.col(id_col),
+                         F.explode(F.array_distinct(tokens_col(text_col))).alias("g"))
+                 .select(id_col, F.xxhash64("g").alias("sh")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (a.join(b, ["sh"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "inner")
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("sz").alias("sz_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("sz").alias("sz_b")), "id_b")
+           .withColumn("jaccard",
+                       F.round(F.col("i") / (F.col("sz_a") + F.col("sz_b")
+                                             - F.col("i")), 6)))
+    return (out.filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+
+
+# -- SimHash near-dup -------------------------------------------------------
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation blocks on 16-bit bands of the 64-bit fingerprint
+    (pigeonhole: any pair within hamming 3 shares at least one of 4 bands),
+    then verifies with bit_count(xor) — all JVM expressions."""
+    from .text import simhash
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned("simhash", 16 * i)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)])).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.key") == F.col("b.key"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95,
+                        n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding near-duplicate pairs: random-hyperplane LSH bucket join +
+    exact cosine verification, all in JVM expressions.
+
+    Sign-LSH: bucket = sign bits of dot(v, r_i) for n_planes deterministic
+    pseudo-random planes; near-identical vectors collide w.h.p.  The exact
+    cosine is then computed only for bucket-colliding pairs."""
+    rng = np.random.default_rng(seed)
+    dim = len(emb_df.select(vec_col).first()[0])
+    planes = rng.standard_normal((n_planes, dim))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    bucket = None
+    for i in range(n_planes):
+        arr = F.array(*[F.lit(float(planes[i, j])) for j in range(dim)])
+        dot = F.aggregate(F.zip_with(v, arr, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    base = emb_df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"),
+                         bucket.alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    cos = (F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                  lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    return (a.join(b, [F.col("a.bucket") == F.col("b.bucket"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .withColumn("cosine", F.round(cos, 6))
+             .filter(F.col("cosine") >= threshold)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"), "cosine"))

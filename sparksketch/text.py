@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, language-ID,
+document fingerprinting (SimHash / rolling hash).
+
+Everything stays JVM-side (split/explode/xxhash64) until a genuinely custom
+reduction is needed; those run as vectorized ``applyInPandas`` over
+pre-hashed tokens — no per-row Python hashing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A tiny function-word list for quality scoring / language-ID heuristics.
+_STOPWORDS = ["a", "the", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+_LANG_MARKERS = {
+    # deterministic n-gram/function-word heuristic tables (public knowledge);
+    # extend per-language as needed.
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "los", "que", "es", "una"],
+}
+
+
+def tokens_col(text_col: str | Column = "text") -> Column:
+    """Whitespace tokenization as a JVM expression (split on single space —
+    matches ANSI ``string_split(text, ' ')`` exactly, empty strings kept)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text",
+                     out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, F.size(tokens_col(text_col)))
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features — all
+    whole-stage-codegen JVM expressions; feeds a downstream quality filter."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    return (df
+            .withColumn("n_chars", F.length(text_col))
+            .withColumn("n_tokens", n_tok)
+            .withColumn("avg_token_len",
+                        F.round((F.length(text_col) - (n_tok - 1))
+                                / F.greatest(n_tok, F.lit(1)), 6))
+            .withColumn("distinct_token_ratio",
+                        F.round(F.size(F.array_distinct(toks))
+                                / F.greatest(n_tok, F.lit(1)), 6))
+            .withColumn("stopword_types", n_stop)
+            .withColumn("punct_chars",
+                        F.length(F.regexp_replace(text_col, "[^.,;:!?]", ""))))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Function-word-overlap language ID (n-gram heuristic): predicted
+    language = argmax over marker tables of distinct marker hits.  Pure JVM
+    expressions (array_intersect); ties broken by fixed language order."""
+    toks = F.array_distinct(tokens_col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in words]))).alias("score"),
+            F.lit(-i).alias("tie"),
+            F.lit(lang).alias("lang"))
+        for i, (lang, words) in enumerate(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best["lang"]).otherwise("und"))
+
+
+def token_hashes(df: DataFrame, id_col: str, text_col: str = "text",
+                 distinct: bool = True) -> DataFrame:
+    """(id, th) pairs: explode tokens and hash JVM-side with xxhash64."""
+    toks = tokens_col(text_col)
+    if distinct:
+        toks = F.array_distinct(toks)
+    return (df.select(F.col(id_col), F.explode(toks).alias("tok"))
+              .select(id_col, F.xxhash64("tok").alias("th")))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text",
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash (Charikar 2002) per document.
+
+    Token hashing is JVM-side; the bit-vote reduction runs as one
+    vectorized ``applyInPandas`` per doc group over int64 token hashes."""
+    th = token_hashes(df, id_col, text_col)
+
+    def votes(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["th"].to_numpy().view(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        sig = np.uint64(0)
+        maj = (2 * bits - 1).sum(axis=0) > 0
+        for b in np.flatnonzero(maj):
+            sig |= np.uint64(1) << np.uint64(b)
+        return pd.DataFrame({id_col: [key[0]],
+                             out_col: [np.int64(sig.astype(np.int64))]})
+
+    dtype = dict(df.dtypes)[id_col]
+    return th.groupBy(id_col).applyInPandas(
+        votes, schema=f"`{id_col}` {dtype}, {out_col} long")
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str = "text",
+                        out_col: str = "fingerprint") -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the full text — pure JVM
+    (xxhash64 of the text is the degenerate-but-sufficient rolling hash for
+    whole-document identity; winnowed k-gram minima provided separately via
+    dedup.shingles + min)."""
+    return df.select(id_col, F.xxhash64(text_col).alias(out_col))
