@@ -73,7 +73,7 @@ def q_bloom_semijoin_customers(spark, sf_dir):
     customer = _tbl(spark, sf_dir, "customer")
     orders = _tbl(spark, sf_dir, "orders")
     return (bloom_semijoin(customer, ["c_custkey"], orders, ["o_custkey"],
-                           expected_n=2_000_000, fpp=1e-9)
+                           fpp=1e-9)
             .select("c_custkey"))
 
 
@@ -86,9 +86,9 @@ def q_counting_subtract_members(spark, sf_dir):
     from sparksketch.sketches import sketch_from_bytes
     customer = _tbl(spark, sf_dir, "customer")
     orders = _tbl(spark, sf_dir, "orders")
-    # m ~= 4.8M cells; int64 cells => ~38MB per partial sketch.  fp(200k
-    # inserts) ~ 1e-7 => ~0 expected false members among the probes.
-    spec = CountingBloomSpec(Shape.from_np(200_000, 1e-7))
+    # size cells to the build side: fp(n) ~ 1e-7 over <= n inserts => ~0
+    # expected false members among the probes at any sf
+    spec = CountingBloomSpec(Shape.from_np(max(orders.count(), 1), 1e-7))
     all_b = tree_aggregate(build_partials(orders, spec, ["o_custkey"]))
     f_b = tree_aggregate(build_partials(
         orders.filter(F.col("o_orderstatus") == "F"), spec, ["o_custkey"]))
@@ -192,7 +192,10 @@ def q_layered_daily_distinct_users(spark, sf_dir):
     _utc(spark)
     ev = _tbl(spark, sf_dir, "events").withColumn(
         "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long"))
-    shape = Shape.from_np(200_000, 1e-9)
+    # per-layer bitmaps sized from the true distinct-user count (cheap agg
+    # pre-pass) so a year of layers stays KBs, not MBs, per partial
+    n_users = ev.select(F.countDistinct("user_id")).first()[0] or 1
+    shape = Shape.from_np(max(2 * n_users, 1024), 1e-9)
     blob = tree_aggregate(build_partials(
         ev, LayeredBloomSpec(shape, layer_col="day"), ["user_id"]))
     sk = sketch_from_bytes(blob)

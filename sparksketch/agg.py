@@ -25,8 +25,7 @@ Execution design (SURVEY.md §4, BASELINE.json north_rule):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import reduce
-from typing import Callable, Iterator, Sequence
+from typing import Callable, ClassVar, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -37,7 +36,7 @@ from .shape import Shape, StableShape
 from .sketches import (BloomFilter, BottomKSketch, CountMinSketch,
                        CountingBloomFilter, HyperLogLog, KLLSketch,
                        LayeredBloomFilter, MinHashSketch, StableBloomFilter,
-                       TDigest, merge_bytes, sketch_from_bytes)
+                       TDigest, merge_blob_list, sketch_from_bytes)
 from .sketches.base import Sketch
 
 H2_SEED = 0xB10F  # literal mixed into the second xxhash64
@@ -62,16 +61,27 @@ class SketchSpec:
     def update(self, sk: Sketch, pdf: pd.DataFrame) -> None:
         raise NotImplementedError
 
+    # columns the update() step reads from the Arrow batch
+    BATCH_COLS: ClassVar[tuple[str, ...]] = ("h1", "h2", "value")
+
+    def prepare_exprs(self, cols: Sequence[str | Column],
+                      prefix: str = "") -> list[Column]:
+        """JVM-side column expressions feeding this sketch's update step —
+        these are the ONLY columns that cross the Arrow boundary."""
+        out = [F.xxhash64(*cols).alias(prefix + "h1")]
+        if self.needs_h2:
+            out.append(F.xxhash64(F.lit(H2_SEED), *cols).alias(prefix + "h2"))
+        if self.value_col is not None:
+            out.append(F.col(self.value_col).cast("double")
+                       .alias(prefix + "value"))
+        return out
+
     def prepare(self, df: DataFrame, cols: Sequence[str | Column],
                 keep: Sequence[str] = ()) -> DataFrame:
-        """Project down to hash/value columns — the ONLY columns that cross
-        the Arrow boundary (column pruning reaches the scan)."""
-        out = [F.xxhash64(*cols).alias("h1")]
-        if self.needs_h2:
-            out.append(F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
-        if self.value_col is not None:
-            out.append(F.col(self.value_col).cast("double").alias("value"))
-        return df.select(*[F.col(c) for c in keep], *out)
+        """Project down to hash/value columns (column pruning reaches the
+        scan)."""
+        return df.select(*[F.col(c) for c in keep],
+                         *self.prepare_exprs(cols))
 
 
 @dataclass(frozen=True)
@@ -195,12 +205,12 @@ class LayeredBloomSpec(SketchSpec):
     def __post_init__(self):
         object.__setattr__(self, "value_col", None)
 
-    def prepare(self, df, cols, keep=()):
-        return df.select(
-            *[F.col(c) for c in keep],
-            F.col(self.layer_col).cast("long").alias("layer"),
-            F.xxhash64(*cols).alias("h1"),
-            F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
+    BATCH_COLS = ("layer", "h1", "h2")
+
+    def prepare_exprs(self, cols, prefix=""):
+        return [F.col(self.layer_col).cast("long").alias(prefix + "layer"),
+                F.xxhash64(*cols).alias(prefix + "h1"),
+                F.xxhash64(F.lit(H2_SEED), *cols).alias(prefix + "h2")]
 
     def empty(self) -> Sketch:
         return LayeredBloomFilter(self.shape)
@@ -237,25 +247,55 @@ def build_partials(df: DataFrame, spec: SketchSpec,
         _partial_builder(spec), schema=PARTIAL_SCHEMA)
 
 
-def tree_aggregate(partials: DataFrame, depth: int | None = None,
-                   canonical: bool = False) -> bytes | None:
-    """Merge partial-sketch rows to one serialized sketch.
+def tree_merge_round(partials: DataFrame, fanout: int = 64) -> DataFrame:
+    """One tree round: fold groups of ``fanout`` partial rows (by pid range,
+    sorted within the group for canonical determinism) into one row each.
+    Shuffles only sketch-sized rows; raw data is long gone."""
 
-    ``canonical=True`` folds partials in sorted-pid order on the driver —
-    needed only for run-to-run byte determinism of KLL/t-digest; the
-    commutative kinds are byte-identical either way.  Partials are one row
-    per partition (KB-MB each), so even the driver fold is tiny; the
-    treeAggregate path exists for very high partition counts at cluster
-    scale (north_star names treeAggregate)."""
-    if canonical:
-        rows = partials.select("pid", "sketch").collect()
-        blobs = [bytes(r.sketch) for r in sorted(rows, key=lambda r: r.pid)]
-        return reduce(merge_bytes, blobs, None)
-    rdd = partials.select("sketch").rdd.map(lambda r: bytes(r[0]))
-    n_parts = max(rdd.getNumPartitions(), 1)
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid")
+        blob = merge_blob_list(bytes(b) for b in pdf["sketch"])
+        return pd.DataFrame({"pid": [int(key[0])], "sketch": [blob],
+                             "rows": [int(pdf["rows"].sum())]})
+
+    grouped = partials.withColumn(
+        "_g", (F.col("pid") / F.lit(fanout)).cast("long"))
+    return grouped.groupBy("_g").applyInPandas(fold, PARTIAL_SCHEMA)
+
+
+def tree_aggregate(partials: DataFrame, depth: int | None = None,
+                   canonical: bool = True, collect_max: int = 1024,
+                   fanout: int = 64) -> bytes | None:
+    """Merge partial-sketch rows (one per input partition) to one blob.
+
+    Partials are fixed-size KB-MB sketches, so the dominant cost is the
+    build scan, never the merge — the merge plan only has to avoid fixed
+    overhead:
+
+    - ``<= collect_max`` partitions: collect the rows and fold driver-side
+      in sorted-pid order.  One job, no extra shuffle, no Python-RDD pickle
+      path.  Sorted order is canonical for every sketch kind and
+      byte-identical to any other order for the commutative kinds.
+    - more partitions (cluster scale): iterative DataFrame tree rounds —
+      ``groupBy(pid // fanout)`` -> ``applyInPandas`` fold — until
+      ``collect_max`` rows remain, then the driver fold.  This is the
+      treeAggregate pattern named by north_star, expressed over DataFrames
+      so blobs stay in Arrow and AQE places the (tiny) shuffles.
+
+    ``depth`` overrides the number of tree rounds; ``canonical`` is kept
+    for API compatibility (both paths are canonical now).
+    """
+    est_parts = partials.rdd.getNumPartitions()
+    rounds = depth if depth is not None else 0
     if depth is None:
-        depth = max(2, int(np.ceil(np.log(max(n_parts, 2)) / np.log(4))))
-    return rdd.treeAggregate(None, merge_bytes, merge_bytes, depth=depth)
+        while est_parts > collect_max:
+            rounds += 1
+            est_parts = int(np.ceil(est_parts / fanout))
+    for _ in range(rounds):
+        partials = tree_merge_round(partials, fanout)
+    rows = partials.select("pid", "sketch").collect()
+    blobs = [bytes(r.sketch) for r in sorted(rows, key=lambda r: r.pid)]
+    return merge_blob_list(blobs)
 
 
 def sketch_dataframe(df: DataFrame, spec: SketchSpec,
@@ -266,6 +306,72 @@ def sketch_dataframe(df: DataFrame, spec: SketchSpec,
     if blob is None:
         return spec.empty()
     return sketch_from_bytes(blob)
+
+
+# --------------------------------------------------------------------------
+# Multi-sketch single-pass build: one scan, one Arrow crossing, N sketches
+# --------------------------------------------------------------------------
+
+def build_partials_multi(
+        df: DataFrame,
+        specs: dict[str, tuple[SketchSpec, Sequence[str | Column]]]
+) -> DataFrame:
+    """Build several sketches (possibly over different key columns) in ONE
+    pass over the data: all hash/value columns are computed JVM-side in a
+    single projection, the batch crosses the Arrow boundary once, and every
+    sketch updates from the same batch.  At 100 TB this turns N scans into
+    one — the scan is the cost; the sketch updates are cheap NumPy.
+
+    Output: one row per input partition,
+    ``pid long, rows long, <name> binary ...`` (one binary column per spec).
+    """
+    names = list(specs)
+    exprs: list[Column] = []
+    for name, (spec, cols) in specs.items():
+        exprs.extend(spec.prepare_exprs(cols, prefix=f"{name}__"))
+    prepared = df.select(*exprs)
+    schema = ", ".join(["pid long", "rows long"]
+                       + [f"`{n}` binary" for n in names])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        sks = {n: specs[n][0].empty() for n in names}
+        rows = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows += len(pdf)
+            for n in names:
+                spec = specs[n][0]
+                sub = pdf.rename(columns={
+                    f"{n}__{c}": c for c in spec.BATCH_COLS})
+                spec.update(sks[n], sub)
+        pid = TaskContext.get().partitionId()
+        data = {"pid": [pid], "rows": [rows]}
+        for n in names:
+            data[n] = [sks[n].to_bytes()]
+        yield pd.DataFrame(data)
+
+    return prepared.mapInPandas(fn, schema=schema)
+
+
+def tree_aggregate_multi(partials: DataFrame,
+                         names: Sequence[str]) -> dict[str, bytes | None]:
+    """Merge a multi-sketch partials frame: one collect, per-column
+    sorted-pid fold (canonical).  For extreme partition counts compose with
+    :func:`tree_merge_round`-style reduction per column first."""
+    rows = sorted(partials.collect(), key=lambda r: r.pid)
+    return {n: merge_blob_list(bytes(r[n]) for r in rows) for n in names}
+
+
+def sketch_dataframe_multi(
+        df: DataFrame,
+        specs: dict[str, tuple[SketchSpec, Sequence[str | Column]]]
+) -> dict[str, Sketch]:
+    """One-pass build+merge of several sketches; returns deserialized finals."""
+    blobs = tree_aggregate_multi(build_partials_multi(df, specs), list(specs))
+    return {n: specs[n][0].empty() if blobs[n] is None
+            else sketch_from_bytes(blobs[n]) for n in specs}
 
 
 # --------------------------------------------------------------------------
@@ -312,7 +418,7 @@ def grouped_sketch(df: DataFrame, group_cols: Sequence[str],
         build_salted, out_schema)
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        blob = reduce(merge_bytes, [bytes(b) for b in pdf["sketch"]], None)
+        blob = merge_blob_list(bytes(b) for b in pdf["sketch"])
         data = {c: [key[i]] for i, c in enumerate(group_cols)}
         data["sketch"] = [blob]
         data["rows"] = [int(pdf["rows"].sum())]
@@ -357,7 +463,8 @@ def with_might_contain(df: DataFrame, blob: bytes,
 
 def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
                    build_df: DataFrame, build_cols: Sequence[str],
-                   expected_n: int, fpp: float = 1e-6) -> DataFrame:
+                   expected_n: int | None = None,
+                   fpp: float = 1e-6) -> DataFrame:
     """Pre-filter ``probe_df`` to rows whose key might exist in ``build_df``.
 
     Builds a Bloom filter over the (small) build side with treeAggregate and
@@ -365,7 +472,14 @@ def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
     probe side, filter applied map-side.  With m >> n the filter is
     effectively exact (zero FP), making this a drop-in distributed semi-join
     data-reduction operator (A6 -> "bloom semi-join" per SURVEY.md Table C).
+
+    ``expected_n=None`` sizes the filter from a ``count()`` of the build
+    side — a cheap metadata/pushdown scan that keeps m proportional to the
+    data instead of a worst-case guess (an oversized bitmap costs far more
+    in partial-sketch bytes than the count saves).
     """
+    if expected_n is None:
+        expected_n = build_df.count()
     shape = Shape.from_np(max(expected_n, 1), fpp)
     blob = tree_aggregate(build_partials(build_df, BloomSpec(shape), build_cols))
     if blob is None:

@@ -18,14 +18,13 @@ import json
 import os
 import time
 from dataclasses import dataclass
-from functools import reduce
 from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .agg import PARTIAL_SCHEMA, SketchSpec
-from .sketches import merge_bytes
+from .sketches import merge_blob_list
 
 
 @dataclass
@@ -125,4 +124,4 @@ def merged_sketch_bytes(spark: SparkSession, ckpt_dir: str,
     seen: dict[int, bytes] = {}
     for r in rows:
         seen.setdefault(r.pid, bytes(r.sketch))
-    return reduce(merge_bytes, [seen[p] for p in sorted(seen)], None)
+    return merge_blob_list(seen[p] for p in sorted(seen))

@@ -3,7 +3,8 @@
 Import order matters only for decoder registration; importing this package
 registers every kind."""
 
-from .base import Sketch, merge_bytes, sketch_from_bytes  # noqa: F401
+from .base import (Sketch, merge_blob_list, merge_bytes,  # noqa: F401
+                   sketch_from_bytes)
 from .bloom import BloomFilter, SparseBloomFilter, pick_representation  # noqa: F401
 from .bottomk import BottomKSketch  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401

@@ -15,6 +15,7 @@ import struct
 
 import numpy as np
 
+from ..bitops import popcount
 from ..hashing import edh_indices_flat
 from ..shape import Shape
 from .base import (KIND_BLOOM, KIND_BLOOM_SPARSE, Sketch, pack_header,
@@ -81,7 +82,7 @@ class BloomFilter(Sketch):
         return bool(((self.words[word] & bit) != 0).all())
 
     def cardinality(self) -> int:
-        return int(np.unpackbits(self.words.view(np.uint8)).sum())
+        return popcount(self.words)
 
     def estimate_n(self) -> float:
         return self.shape.estimate_n(self.cardinality())

@@ -13,6 +13,7 @@ import math
 
 import numpy as np
 
+from ..bitops import popcount
 from .bloom import BloomFilter
 
 _I32MAX = 2 ** 31 - 1
@@ -29,7 +30,7 @@ def _words(f) -> np.ndarray:
 
 
 def _popcount(words: np.ndarray) -> int:
-    return int(np.unpackbits(words.view(np.uint8)).sum())
+    return popcount(words)
 
 
 def and_cardinality(a, b) -> int:
