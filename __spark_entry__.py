@@ -184,26 +184,34 @@ def q_hll_distinct_users_bound(spark, sf_dir):
 
 
 def q_layered_daily_distinct_users(spark, sf_dir):
-    """B4 layered filter keyed by epoch-day: per-layer distinct users
-    (exact regime)."""
-    from sparksketch.agg import LayeredBloomSpec, build_partials, tree_aggregate
+    """B4 layered filter keyed by epoch-day: per-day distinct users counted
+    by MEMBERSHIP PROBES of the known user universe against each day layer.
+
+    Zero-FP membership (m >> n at fpp 1e-9) is exact with m linear in n;
+    counting via ``estimate_n`` instead would need m ~ n^2 for the rounding
+    to be exact (estimator std ~ n/sqrt(2m)) — the wrong scaling.  Probing a
+    candidate set against time-bucketed layers is also the layered filter's
+    real windowed-dedup access pattern."""
+    from sparksketch.agg import (H2_SEED, LayeredBloomSpec, build_partials,
+                                 tree_aggregate)
     from sparksketch.shape import Shape
-    from sparksketch.sketches import sketch_from_bytes
+    from sparksketch.sketches import BloomFilter, sketch_from_bytes
     _utc(spark)
     ev = _tbl(spark, sf_dir, "events").withColumn(
         "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long"))
-    # per-layer bitmaps sized from the true distinct-user count (cheap agg
-    # pre-pass) so a year of layers stays KBs, not MBs, per partial
-    n_users = ev.select(F.countDistinct("user_id")).first()[0] or 1
-    shape = Shape.from_np(max(2 * n_users, 1024), 1e-9)
+    users = (ev.select("user_id").distinct()
+             .select(F.xxhash64("user_id").alias("h1"),
+                     F.xxhash64(F.lit(H2_SEED), "user_id").alias("h2"))
+             .toPandas())
+    shape = Shape.from_np(max(2 * len(users), 1024), 1e-9)
     blob = tree_aggregate(build_partials(
         ev, LayeredBloomSpec(shape, layer_col="day"), ["user_id"]))
     sk = sketch_from_bytes(blob)
+    h1, h2 = users["h1"].to_numpy(), users["h2"].to_numpy()
     rows = []
     for day in sorted(sk.layers):
-        from sparksketch.sketches import BloomFilter
         bf = BloomFilter(shape, sk.layers[day])
-        rows.append((int(day), int(round(bf.estimate_n()))))
+        rows.append((int(day), int(bf.contains_hashes(h1, h2).sum())))
     return spark.createDataFrame(rows, "day bigint, distinct_users bigint")
 
 

@@ -263,6 +263,26 @@ def tree_merge_round(partials: DataFrame, fanout: int = 64) -> DataFrame:
     return grouped.groupBy("_g").applyInPandas(fold, PARTIAL_SCHEMA)
 
 
+def _collect_partials(partials: DataFrame) -> pd.DataFrame:
+    """Pull partial-sketch rows to the driver through the Arrow collect path
+    (``toPandas``), sorted by pid.  The row-object ``collect()`` path
+    re-serializes each MB-scale binary per row and is ~50x slower — with
+    128 x 4.5 MB partials it alone would dominate the whole build."""
+    sess = partials.sparkSession
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        old = sess.conf.get(key)
+    except Exception:
+        old = None
+    sess.conf.set(key, "true")
+    try:
+        pdf = partials.toPandas()
+    finally:
+        if old is not None:
+            sess.conf.set(key, old)
+    return pdf.sort_values("pid")
+
+
 def tree_aggregate(partials: DataFrame, depth: int | None = None,
                    canonical: bool = True, collect_max: int = 1024,
                    fanout: int = 64) -> bytes | None:
@@ -293,9 +313,8 @@ def tree_aggregate(partials: DataFrame, depth: int | None = None,
             est_parts = int(np.ceil(est_parts / fanout))
     for _ in range(rounds):
         partials = tree_merge_round(partials, fanout)
-    rows = partials.select("pid", "sketch").collect()
-    blobs = [bytes(r.sketch) for r in sorted(rows, key=lambda r: r.pid)]
-    return merge_blob_list(blobs)
+    pdf = _collect_partials(partials.select("pid", "sketch"))
+    return merge_blob_list(bytes(b) for b in pdf["sketch"])
 
 
 def sketch_dataframe(df: DataFrame, spec: SketchSpec,
@@ -355,13 +374,43 @@ def build_partials_multi(
     return prepared.mapInPandas(fn, schema=schema)
 
 
-def tree_aggregate_multi(partials: DataFrame,
-                         names: Sequence[str]) -> dict[str, bytes | None]:
-    """Merge a multi-sketch partials frame: one collect, per-column
-    sorted-pid fold (canonical).  For extreme partition counts compose with
-    :func:`tree_merge_round`-style reduction per column first."""
-    rows = sorted(partials.collect(), key=lambda r: r.pid)
-    return {n: merge_blob_list(bytes(r[n]) for r in rows) for n in names}
+def tree_merge_round_multi(partials: DataFrame, names: Sequence[str],
+                           fanout: int = 16) -> DataFrame:
+    """One parallel tree round over a multi-sketch partials frame: fold
+    groups of ``fanout`` rows (sorted by pid within each group — canonical)
+    into one row per group, per sketch column."""
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid")
+        data = {"pid": [int(key[0])], "rows": [int(pdf["rows"].sum())]}
+        for n in names:
+            data[n] = [merge_blob_list(bytes(b) for b in pdf[n])]
+        return pd.DataFrame(data)
+
+    schema = ", ".join(["pid long", "rows long"]
+                       + [f"`{n}` binary" for n in names])
+    grouped = partials.withColumn(
+        "_g", (F.col("pid") / F.lit(fanout)).cast("long"))
+    return grouped.groupBy("_g").applyInPandas(fold, schema)
+
+
+def tree_aggregate_multi(partials: DataFrame, names: Sequence[str],
+                         collect_max: int = 1024,
+                         fanout: int = 64) -> dict[str, bytes | None]:
+    """Merge a multi-sketch partials frame to one blob per sketch name.
+
+    Up to ``collect_max`` partials are pulled straight to the driver via the
+    Arrow collect path and folded there (sub-second even for hundreds of
+    MB-scale blobs).  Beyond that — true cluster scale — parallel tree
+    rounds fold ``fanout`` rows into one executor-side first, so the driver
+    only ever sees ``collect_max`` rows.  Folds happen in sorted-pid order
+    at every level (canonical)."""
+    est_parts = partials.rdd.getNumPartitions()
+    while est_parts > collect_max:
+        partials = tree_merge_round_multi(partials, names, fanout)
+        est_parts = int(np.ceil(est_parts / fanout))
+    pdf = _collect_partials(partials)
+    return {n: merge_blob_list(bytes(b) for b in pdf[n]) for n in names}
 
 
 def sketch_dataframe_multi(
