@@ -310,10 +310,14 @@ def q_stable_dedup_partitions(spark, sf_dir):
 
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs with signature jaccard."""
+    from pyspark import StorageLevel
     from sparksketch.dedup import (lsh_candidate_pairs, minhash_signatures,
                                    signature_jaccard)
     docs = _tbl(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", n_perm=64, shingle_n=3)
+    # signatures feed banding AND both sides of the verification join —
+    # persist so the sig UDF runs once, not three times
+    sigs = (minhash_signatures(docs, "doc_id", n_perm=64, shingle_n=3)
+            .persist(StorageLevel.MEMORY_AND_DISK))
     pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=4)
     return signature_jaccard(sigs, pairs, "doc_id")
 

@@ -38,15 +38,21 @@ def exact_dedup_rows(df: DataFrame, text_col: str = "text",
 
 # -- shingles / n-grams (JVM expressions) -----------------------------------
 
+def gram_array(text_col: str = "text", n: int = 3):
+    """Distinct word-n-gram array column (JVM expressions only):
+    split -> transform(sequence) -> array_distinct."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str = "text",
              n: int = 3) -> DataFrame:
     """(id, sh) word n-gram hashes, built entirely with JVM array
     expressions: split -> transform(sequence) -> explode -> xxhash64."""
-    toks = tokens_col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("g"))
+    return (df.select(F.col(id_col),
+                      F.explode(gram_array(text_col, n)).alias("g"))
               .select(id_col, F.xxhash64("g").alias("sh")))
 
 
@@ -57,21 +63,40 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
                        seed: int = 42) -> DataFrame:
     """Per-document MinHash signature: (id, sig array<long>[n_perm]).
 
-    Shingle hashing is JVM-side; the per-doc min-reduction over n_perm
-    SplitMix64 re-mixes runs as one vectorized applyInPandas."""
-    sh = shingles(df, id_col, text_col, shingle_n)
+    Shingles never leave their row: the distinct-shingle hash array is
+    built JVM-side (``transform(grams, g -> xxhash64(g))``) and ONE scalar
+    pandas UDF computes all per-doc/per-perm minima for a whole Arrow batch
+    with segment-wise ``np.minimum.reduceat`` — no explode, no shuffle, no
+    per-document Python call.  The (tokens x perms) re-mix matrix is
+    processed in bounded-memory chunks along document boundaries."""
     seeds = perm_seeds(n_perm, seed)
 
-    def sig(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["sh"].to_numpy().view(np.uint64)
+    @F.pandas_udf("array<long>")
+    def sig(shs: pd.Series) -> pd.Series:
         from .hashing import splitmix64
-        mat = splitmix64(h[:, None] ^ seeds[None, :])
-        mins = mat.min(axis=0).astype(np.int64)
-        return pd.DataFrame({id_col: [key[0]], "sig": [mins.tolist()]})
+        from .text import _segment_starts
+        flat, starts = _segment_starts(shs)
+        n = len(shs)
+        if flat.size == 0:
+            return pd.Series([[0] * n_perm] * n)
+        out = np.empty((n, n_perm), dtype=np.int64)
+        chunk = max((1 << 22) // n_perm, 1)  # ~32 MB of u64 per chunk
+        ends = np.append(starts[1:], flat.size)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and ends[j - 1] - starts[i] < chunk:
+                j += 1
+            seg = flat[starts[i]:ends[j - 1]].view(np.uint64)
+            mat = splitmix64(seg[:, None] ^ seeds[None, :])
+            local = starts[i:j] - starts[i]
+            out[i:j] = np.minimum.reduceat(mat, local, axis=0).view(np.int64)
+            i = j
+        return pd.Series(list(out))
 
-    dtype = dict(df.dtypes)[id_col]
-    return sh.groupBy(id_col).applyInPandas(
-        sig, schema=f"`{id_col}` {dtype}, sig array<long>")
+    return df.select(F.col(id_col),
+                     sig(F.transform(gram_array(text_col, shingle_n),
+                                     lambda g: F.xxhash64(g))).alias("sig"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,

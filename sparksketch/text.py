@@ -87,28 +87,46 @@ def token_hashes(df: DataFrame, id_col: str, text_col: str = "text",
               .select(id_col, F.xxhash64("tok").alias("th")))
 
 
+def _segment_starts(lists) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 hashes, segment starts) for a Series of hash lists."""
+    arrs = [np.asarray(x, dtype=np.int64) for x in lists]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64,
+                       count=len(arrs))
+    flat = (np.concatenate(arrs) if arrs
+            else np.zeros(0, dtype=np.int64))
+    starts = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return flat, starts
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text",
             out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash (Charikar 2002) per document.
 
-    Token hashing is JVM-side; the bit-vote reduction runs as one
-    vectorized ``applyInPandas`` per doc group over int64 token hashes."""
-    th = token_hashes(df, id_col, text_col)
+    Tokens never leave their row: the distinct-token hash array is built
+    JVM-side (``transform(tokens, t -> xxhash64(t))``), and ONE scalar
+    pandas UDF does the bit-vote majority for a whole Arrow batch of
+    documents via segment-wise ``np.add.reduceat`` — no explode, no
+    shuffle, no per-document Python call."""
 
-    def votes(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["th"].to_numpy().view(np.uint64)
+    @F.pandas_udf("long")
+    def votes(ths: pd.Series) -> pd.Series:
+        flat, starts = _segment_starts(ths)
+        if flat.size == 0:
+            return pd.Series(np.zeros(len(ths), dtype=np.int64))
+        h = flat.view(np.uint64)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        sig = np.uint64(0)
-        maj = (2 * bits - 1).sum(axis=0) > 0
-        for b in np.flatnonzero(maj):
-            sig |= np.uint64(1) << np.uint64(b)
-        return pd.DataFrame({id_col: [key[0]],
-                             out_col: [np.int64(sig.astype(np.int64))]})
+                & np.uint64(1)).astype(np.int8)
+        sums = np.add.reduceat(2 * bits.astype(np.int32) - 1, starts, axis=0)
+        maj = (sums > 0).astype(np.uint64)
+        weights = np.left_shift(np.uint64(1),
+                                np.arange(64, dtype=np.uint64))
+        sig = (maj * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.view(np.int64))
 
-    dtype = dict(df.dtypes)[id_col]
-    return th.groupBy(id_col).applyInPandas(
-        votes, schema=f"`{id_col}` {dtype}, {out_col} long")
+    th_arr = F.transform(F.array_distinct(tokens_col(text_col)),
+                         lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), votes(th_arr).alias(out_col))
 
 
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str = "text",
