@@ -308,6 +308,63 @@ def q_stable_dedup_partitions(spark, sf_dir):
     return parts.select("pid", "rows")
 
 
+def q_streaming_windowed_distinct(spark, sf_dir):
+    """Structured Streaming windowed sketch: events arrive as 4 file
+    micro-batches in event_id-mod order (so every batch carries LATE rows
+    for every day); a foreachBatch WindowedSketchState merges per-day Bloom
+    partials algebraically.  Final per-day distinct users counted by
+    zero-FP membership probes — exact, same oracle as the batch layered
+    query.  The applyInPandasWithState continuous-dedup path is exercised
+    in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    from sparksketch.agg import H2_SEED
+    from sparksketch.shape import Shape
+    from sparksketch.sketches import BloomFilter, sketch_from_bytes
+    from sparksketch.streaming import WindowedSketchState
+    _utc(spark)
+    ev = _tbl(spark, sf_dir, "events")
+    users = (ev.select("user_id").distinct()
+             .select(F.col("user_id"),
+                     F.xxhash64("user_id").alias("h1"),
+                     F.xxhash64(F.lit(H2_SEED), "user_id").alias("h2"))
+             .toPandas())
+    shape = Shape.from_np(max(2 * len(users), 1024), 1e-9)
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    state = tempfile.mkdtemp(prefix="stream_state_")
+    try:
+        for i in range(4):
+            (ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+               .coalesce(1).write.mode("overwrite")
+               .parquet(f"{src}/b{i}"))
+        import glob
+        for i in range(4):
+            part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/{i:03d}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+        from sparksketch.agg import BloomSpec
+        wss = WindowedSketchState(BloomSpec(shape), ["user_id"], state,
+                                  window="1 day", ts_col="ts")
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (stream.writeStream.foreachBatch(wss.process_batch)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        snap = wss.snapshot(spark).collect()
+        h1, h2 = users["h1"].to_numpy(), users["h2"].to_numpy()
+        rows = []
+        for r in snap:
+            bf = sketch_from_bytes(bytes(r.sketch))
+            assert isinstance(bf, BloomFilter)
+            day = int(r.window_start.timestamp() // 86400)
+            rows.append((day, int(bf.contains_hashes(h1, h2).sum())))
+        return spark.createDataFrame(
+            sorted(rows), "day bigint, distinct_users bigint")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs with signature jaccard."""
     from pyspark import StorageLevel
@@ -370,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "stable_dedup_partitions": q_stable_dedup_partitions,
+        "streaming_windowed_distinct": q_streaming_windowed_distinct,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -435,6 +493,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT true AS est_within_bound, "
             "count(DISTINCT user_id) AS exact_distinct FROM events",
         "layered_daily_distinct_users":
+            "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "count(DISTINCT user_id) AS distinct_users FROM events "
+            "GROUP BY 1 ORDER BY 1",
+        "streaming_windowed_distinct":
             "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
             "count(DISTINCT user_id) AS distinct_users FROM events "
             "GROUP BY 1 ORDER BY 1",

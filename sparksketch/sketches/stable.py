@@ -122,6 +122,29 @@ class StableBloomFilter(Sketch):
             cells[uniq] = np.maximum(cur - counts, 0).astype(np.uint8)
             cells[set_idx[r]] = mx
 
+    def insert_hashes_flagged(self, h1: np.ndarray,
+                              h2: np.ndarray) -> np.ndarray:
+        """Ordered replay returning the pre-insert membership flag per row —
+        the SIGMOD'06 stream-dedup primitive ("seen recently?"): probe the k
+        cells BEFORE decrement+set, then insert.  Same cell-state evolution
+        as :meth:`insert_hashes` given the same row order and PRNG state."""
+        n = len(h1)
+        flags = np.zeros(n, dtype=bool)
+        if n == 0:
+            return flags
+        k, m, p, mx = self.sshape.k, self.sshape.m, self.sshape.p, self.sshape.max
+        set_idx = edh_indices(h1, h2, k, m)
+        dec_idx = self.prng.next_rows(n, p, m)
+        cells = self.cells
+        for r in range(n):
+            flags[r] = bool((cells[set_idx[r]] != 0).all())
+            d = dec_idx[r]
+            uniq, counts = np.unique(d, return_counts=True)
+            cur = cells[uniq].astype(np.int64)
+            cells[uniq] = np.maximum(cur - counts, 0).astype(np.uint8)
+            cells[set_idx[r]] = mx
+        return flags
+
     # -- queries ------------------------------------------------------------
     def contains_indices(self, idx: np.ndarray) -> bool:
         return bool((self.cells[np.asarray(idx, dtype=np.int64)] != 0).all())

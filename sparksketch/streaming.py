@@ -1,0 +1,182 @@
+"""Structured Streaming layer (SURVEY.md §7 step 8; Table C streaming row).
+
+Two streaming shapes cover the reference's streaming semantics:
+
+1. **Continuous stable-BF dedup** (:func:`stable_dedup_stream`) — the
+   reference's StableBloomFilter IS a streaming stateful operator
+   (unbounded-stream duplicate detection with decay, SIGMOD 2006 per
+   StableBloomFilter.java:16).  Implemented as an
+   ``applyInPandasWithState`` custom stateful operator keyed by
+   conversation: the group state carries the serialized stable filter plus
+   its decrement-PRNG position, so replay is byte-deterministic across
+   micro-batches given the same batch boundaries and (key, order) sort.
+
+2. **Windowed mergeable sketches** (:class:`WindowedSketchState`) — a
+   ``foreachBatch`` sink that builds per-(window, group) partial sketches
+   from each micro-batch with the batch engine and merges them into a
+   parquet state table.  Because every mergeable sketch kind here has a
+   commutative+associative merge, LATE DATA needs no special machinery:
+   a late row's partial simply merges into its window's sketch whenever it
+   arrives — the algebra, not a watermark, provides the correction.  (A
+   watermark can still bound state retention; pass ``watermark=`` to have
+   windows older than the horizon dropped from state.)
+
+State is parquet in the sandbox; swap the two read/write calls for an
+Iceberg/Delta table in production (same dataframes, transactional commit).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .agg import H2_SEED, SketchSpec, grouped_sketch
+from .shape import StableShape
+from .sketches import merge_blob_list, sketch_from_bytes
+from .sketches.stable import StableBloomFilter
+
+
+# ---------------------------------------------------------------------------
+# 1. continuous stable dedup: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+def stable_dedup_stream(df: DataFrame, sshape: StableShape,
+                        cols: Sequence[str], key_col: str = "conv_id",
+                        order_cols: Sequence[str] = ("turn_idx",),
+                        seed: int = 42) -> DataFrame:
+    """Per-key continuous dedup over a (possibly streaming) DataFrame.
+
+    Output: ``(key, *order_cols, is_dup)`` — ``is_dup`` is the stable
+    filter's pre-insert membership ("seen recently", with decay), evaluated
+    in ``order_cols`` order within each micro-batch.  Group state =
+    (serialized filter, PRNG row), so the decrement stream continues
+    exactly where the previous batch left off."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    order_cols = list(order_cols)
+    key_t = dict(df.dtypes)[key_col]
+    order_t = dict(df.dtypes)
+    prepared = df.select(
+        F.col(key_col), *[F.col(c) for c in order_cols],
+        F.xxhash64(*cols).alias("h1"),
+        F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
+
+    out_schema = ", ".join(
+        [f"`{key_col}` {key_t}"]
+        + [f"`{c}` {order_t[c]}" for c in order_cols]
+        + ["is_dup boolean"])
+    state_schema = "sketch binary, rng_row long"
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        from .hashing import hash_bytes64
+        key_seed = seed ^ hash_bytes64(repr(key).encode())
+        if state.exists:
+            blob, rng_row = state.get
+            sk = sketch_from_bytes(bytes(blob))
+            sk.prng.row = int(rng_row)
+        else:
+            sk = StableBloomFilter(sshape, seed=key_seed)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            flags = sk.insert_hashes_flagged(pdf["h1"].to_numpy(),
+                                             pdf["h2"].to_numpy())
+            out = pdf[[key_col, *order_cols]].copy()
+            out["is_dup"] = flags
+            yield out
+        state.update((sk.to_bytes(), int(sk.prng.row)))
+
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# 2. windowed mergeable sketches: foreachBatch + algebraic late-data merge
+# ---------------------------------------------------------------------------
+
+class WindowedSketchState:
+    """``foreachBatch`` sink: per-(window, group) sketches merged across
+    micro-batches into a parquet state table.
+
+    Usage::
+
+        wss = WindowedSketchState(spec, ["user_id"], state_dir, "1 day")
+        q = (stream.writeStream.foreachBatch(wss.process_batch)
+             .trigger(availableNow=True).start()); q.awaitTermination()
+        final = wss.snapshot(spark)   # window_start, [groups...], sketch
+
+    Each batch runs the *batch* engine (`grouped_sketch`) over
+    ``window(ts)`` + group columns, then folds the new partials into the
+    stored ones — one tiny read-merge-write per batch over KB-scale rows.
+    Late rows merge into their (old) window algebraically.
+    """
+
+    def __init__(self, spec: SketchSpec, cols: Sequence[str],
+                 state_dir: str, window: str = "1 hour",
+                 ts_col: str = "ts", group_cols: Sequence[str] = (),
+                 watermark: str | None = None, salt: int | None = None):
+        self.spec = spec
+        self.cols = list(cols)
+        self.state_dir = state_dir
+        self.window = window
+        self.ts_col = ts_col
+        self.group_cols = list(group_cols)
+        self.watermark = watermark
+        self.salt = salt
+        self._max_seen_ts = None
+
+    @property
+    def _keys(self) -> list[str]:
+        return ["window_start", *self.group_cols]
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_df.withColumn(
+            "window_start",
+            F.window(F.col(self.ts_col), self.window)["start"])
+        parts = grouped_sketch(keyed, self._keys, self.spec, self.cols,
+                               salt=self.salt)
+        path = os.path.join(self.state_dir, "windows")
+        if os.path.exists(path):
+            parts = spark.read.parquet(path).unionByName(parts)
+        merged = self._fold(parts)
+        if self.watermark is not None:
+            hi = keyed.select(F.max("window_start")).first()[0]
+            if hi is not None:
+                self._max_seen_ts = (hi if self._max_seen_ts is None
+                                     else max(self._max_seen_ts, hi))
+            if self._max_seen_ts is not None:
+                merged = merged.filter(
+                    F.col("window_start")
+                    >= F.lit(self._max_seen_ts)
+                    - F.expr(f"INTERVAL {self.watermark}"))
+        # two-step write: the merged plan lazily READS `path`, so first
+        # materialize to a scratch dir, then rewrite the state table
+        import shutil
+        tmp = path + f"_tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _fold(self, parts: DataFrame) -> DataFrame:
+        keys = self._keys
+        ktypes = dict(parts.dtypes)
+        schema = ", ".join([f"`{c}` {ktypes[c]}" for c in keys]
+                           + ["sketch binary", "rows long"])
+
+        def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            data = {c: [key[i]] for i, c in enumerate(keys)}
+            data["sketch"] = [merge_blob_list(bytes(b) for b in pdf["sketch"])]
+            data["rows"] = [int(pdf["rows"].sum())]
+            return pd.DataFrame(data)
+
+        return parts.groupBy(*keys).applyInPandas(fold, schema)
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Current merged state: one row per (window, group)."""
+        return spark.read.parquet(os.path.join(self.state_dir, "windows"))

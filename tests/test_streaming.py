@@ -1,0 +1,113 @@
+"""Streaming layer tests (sparksketch/streaming.py).
+
+- WindowedSketchState: foreachBatch algebra — late data merges into its
+  window with no watermark machinery; estimates match exact counts.
+- stable_dedup_stream: a real Structured Streaming query over a file
+  source with applyInPandasWithState; duplicate turns are flagged in the
+  second micro-batch, and a re-run over the same files is deterministic.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, text string")
+
+
+class TestWindowedSketchState:
+    def test_late_data_merges_algebraically(self, spark, tmp_path):
+        from sparksketch.agg import HLLSpec
+        from sparksketch.sketches import sketch_from_bytes
+        from sparksketch.streaming import WindowedSketchState
+
+        wss = WindowedSketchState(HLLSpec(p=12), ["user_id"],
+                                  str(tmp_path), window="1 day")
+        import datetime as dt
+        d1 = dt.datetime(2026, 1, 1, 10)
+        d2 = dt.datetime(2026, 1, 2, 10)
+        batch1 = _mk_events(spark, [(u, d1, "a") for u in range(50)]
+                            + [(u, d2, "b") for u in range(20)])
+        # batch 2 carries LATE rows for day 1 (new users 50..79)
+        batch2 = _mk_events(spark, [(u, d1, "c") for u in range(50, 80)]
+                            + [(u, d2, "d") for u in range(20, 40)])
+        wss.process_batch(batch1, 0)
+        wss.process_batch(batch2, 1)
+
+        snap = {r.window_start.day: sketch_from_bytes(bytes(r.sketch))
+                for r in wss.snapshot(spark).collect()}
+        est1 = snap[1].estimate()   # 80 distinct across both batches
+        est2 = snap[2].estimate()   # 40 distinct
+        assert abs(est1 - 80) <= 80 * 3 * snap[1].rel_std_error() + 1
+        assert abs(est2 - 40) <= 40 * 3 * snap[2].rel_std_error() + 1
+
+    def test_rows_accumulate(self, spark, tmp_path):
+        from sparksketch.agg import BloomSpec
+        from sparksketch.shape import Shape
+        from sparksketch.streaming import WindowedSketchState
+        import datetime as dt
+
+        wss = WindowedSketchState(BloomSpec(Shape.from_np(1000, 1e-6)),
+                                  ["user_id"], str(tmp_path), window="1 day")
+        d = dt.datetime(2026, 3, 1)
+        wss.process_batch(_mk_events(spark, [(u, d, "x") for u in range(10)]), 0)
+        wss.process_batch(_mk_events(spark, [(u, d, "y") for u in range(10)]), 1)
+        row = wss.snapshot(spark).first()
+        assert row.rows == 20
+
+
+class TestStableDedupStream:
+    def _run_stream(self, spark, src_dir, out_name):
+        from sparksketch.shape import Shape, StableShape
+        from sparksketch.streaming import stable_dedup_stream
+
+        schema = "conv_id string, turn_idx int, text string"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src_dir))
+        ss = StableShape.builder(Shape.from_np(500, 1e-4)).set_max(3).build()
+        deduped = stable_dedup_stream(stream, ss, ["text"],
+                                      key_col="conv_id",
+                                      order_cols=["turn_idx"])
+        q = (deduped.writeStream.format("memory").queryName(out_name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return (spark.table(out_name)
+                .orderBy("conv_id", "turn_idx").collect())
+
+    def test_dups_flagged_and_deterministic(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # file 0: conv-a turns 0..9 distinct texts; file 1: same texts again
+        base = [("conv-a", i, f"text-{i}") for i in range(10)]
+        again = [("conv-a", 10 + i, f"text-{i}") for i in range(10)]
+        fresh = [("conv-b", i, f"other-{i}") for i in range(5)]
+        schema = "conv_id string, turn_idx int, text string"
+        spark.createDataFrame(base, schema).coalesce(1) \
+            .write.parquet(src + "/f0")
+        spark.createDataFrame(again + fresh, schema).coalesce(1) \
+            .write.parquet(src + "/f1")
+        # file source needs a flat dir of files; move part files up
+        import glob
+        import shutil
+        for i, d in enumerate(("f0", "f1")):
+            part = glob.glob(f"{src}/{d}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/{i:03d}.parquet")
+            shutil.rmtree(f"{src}/{d}")
+
+        rows = self._run_stream(spark, src, "dedup_run1")
+        flags = {(r.conv_id, r.turn_idx): r.is_dup for r in rows}
+        assert len(rows) == 25
+        # first occurrences: not dup
+        assert not any(flags[("conv-a", i)] for i in range(10))
+        assert not any(flags[("conv-b", i)] for i in range(5))
+        # repeats within decay capacity: flagged
+        assert all(flags[("conv-a", 10 + i)] for i in range(10))
+
+        rows2 = self._run_stream(spark, src, "dedup_run2")
+        assert [(r.conv_id, r.turn_idx, r.is_dup) for r in rows2] \
+            == [(r.conv_id, r.turn_idx, r.is_dup) for r in rows]
