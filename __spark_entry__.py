@@ -293,7 +293,64 @@ def q_ann_topk_cosine(spark, sf_dir):
     return cosine_topk(emb, q, k=10, exclude_id=0).select("vec_id", "sim")
 
 
+def q_grouped_kmv_role_distinct(spark, sf_dir):
+    """Salted grouped aggregation (north_rule skew path): per-role distinct
+    texts via bottom-k sketches built as (role, salt) partials then
+    re-merged — valid because the merge is commutative+associative.  Exact
+    below k."""
+    from sparksketch.agg import BottomKSpec, grouped_sketch
+    from sparksketch.sketches import sketch_from_bytes
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    per_role = grouped_sketch(tr, ["role"], BottomKSpec(k=1 << 18),
+                              ["text"], salt=8)
+    rows = [(r.role, int(round(
+        sketch_from_bytes(bytes(r.sketch)).distinct_estimate())))
+        for r in per_role.collect()]
+    return spark.createDataFrame(sorted(rows),
+                                 "role string, distinct_texts bigint")
+
+
+def q_checkpoint_resume_distinct(spark, sf_dir):
+    """Checkpoint/resume lineage (north_rule): build half the partitions,
+    'crash', resume the rest, merge from the checkpoint — exact distinct
+    conversations via bottom-k (k >= distinct)."""
+    import shutil
+    import tempfile
+    from sparksketch.agg import BottomKSpec
+    from sparksketch.checkpoint import (checkpoint_partials,
+                                        merged_sketch_bytes, resume)
+    from sparksketch.sketches import sketch_from_bytes
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir).repartition(8, "conv_id")
+    spec = BottomKSpec(k=1 << 18)
+    ckpt = tempfile.mkdtemp(prefix="sparksketch_ckpt_")
+    try:
+        checkpoint_partials(tr, spec, ["conv_id"], ckpt, "q",
+                            only_pids={0, 1, 2, 3})
+        resume(spark, tr, spec, ["conv_id"], ckpt, "q")
+        sk = sketch_from_bytes(merged_sketch_bytes(spark, ckpt, "q"))
+        return spark.createDataFrame(
+            [(int(round(sk.distinct_estimate())),)], "distinct_convs bigint")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (the 100TB scale path: probe n_probe of
+    n_centroids cells instead of scanning all rows).  Approximate by
+    design -> rows-only; recall is asserted on clustered fixtures in
+    tests/test_pipeline_ops.py."""
+    from sparksketch.similarity import ivf_topk
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = np.array(emb.filter(F.col("vec_id") == 0)
+                 .select("embedding").first()[0], dtype=np.float64)
+    return (ivf_topk(emb.filter(F.col("vec_id") != 0), q, k=10,
+                     n_centroids=16, n_probe=4)
+            .select("vec_id", "sim"))
 
 def q_stable_dedup_partitions(spark, sf_dir):
     """A1-A5 stable-BF ordered replay per conv partition (order-dependent =>
@@ -426,6 +483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features_documents": q_quality_features_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
+        "grouped_kmv_role_distinct": q_grouped_kmv_role_distinct,
+        "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "stable_dedup_partitions": q_stable_dedup_partitions,
         "streaming_windowed_distinct": q_streaming_windowed_distinct,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -475,6 +535,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')",
         "kmv_distinct_convs":
+            _TRANSCRIPTS_CTE
+            + "SELECT count(DISTINCT conv_id) AS distinct_convs FROM t",
+        "grouped_kmv_role_distinct":
+            _TRANSCRIPTS_CTE
+            + "SELECT role, count(DISTINCT text) AS distinct_texts FROM t "
+              "GROUP BY role ORDER BY role",
+        "checkpoint_resume_distinct":
             _TRANSCRIPTS_CTE
             + "SELECT count(DISTINCT conv_id) AS distinct_convs FROM t",
         "cms_event_type_counts":

@@ -1,0 +1,165 @@
+"""Pipeline-operator tests: checkpoint/resume lineage, ANN scale paths
+(recall on clustered embeddings), minhash/simhash accuracy, multimodal
+plumbing determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+class TestCheckpointResume:
+    def test_resume_builds_only_missing_and_matches_direct(self, spark,
+                                                           tmp_path):
+        from sparksketch.agg import (BloomSpec, build_partials,
+                                     tree_aggregate)
+        from sparksketch.checkpoint import (checkpoint_partials,
+                                            merged_sketch_bytes,
+                                            missing_pids, resume)
+        from sparksketch.shape import Shape
+
+        df = (spark.range(0, 5000, 1, 8)
+              .select(F.concat(F.lit("u"), F.col("id") % 700)
+                      .alias("user_id")))
+        spec = BloomSpec(Shape.from_np(2000, 1e-6))
+        ckpt = str(tmp_path)
+
+        # interrupted run: only half the partitions complete
+        m1 = checkpoint_partials(df, spec, ["user_id"], ckpt, "r1",
+                                 only_pids={0, 1, 2, 3})
+        assert missing_pids(ckpt, "r1") == {4, 5, 6, 7}
+        assert len(m1.completed) == 4
+        assert all(v["rows"] > 0 and v["wall_sec"] >= 0
+                   for v in m1.completed.values())
+
+        # resume completes exactly the missing pids
+        m2 = resume(spark, df, spec, ["user_id"], ckpt, "r1")
+        assert missing_pids(ckpt, "r1") == set()
+        assert len(m2.completed) == 8
+
+        # merged state == direct un-checkpointed build, byte-identical
+        resumed = merged_sketch_bytes(spark, ckpt, "r1")
+        direct = tree_aggregate(build_partials(df, spec, ["user_id"]))
+        assert resumed == direct
+
+        # resume again is a no-op
+        m3 = resume(spark, df, spec, ["user_id"], ckpt, "r1")
+        assert len(m3.completed) == 8
+
+    def test_retry_dedup_by_pid(self, spark, tmp_path):
+        """A re-run of an already-complete pid (retry after lost manifest
+        write) must not double-count: merge dedups by pid."""
+        from sparksketch.agg import HLLSpec
+        from sparksketch.checkpoint import (checkpoint_partials,
+                                            merged_sketch_bytes)
+        from sparksketch.sketches import sketch_from_bytes
+
+        df = (spark.range(0, 2000, 1, 4)
+              .select(F.concat(F.lit("u"), F.col("id")).alias("user_id")))
+        ckpt = str(tmp_path)
+        checkpoint_partials(df, HLLSpec(p=12), ["user_id"], ckpt, "r2")
+        # simulate a retry appending pid 0 again
+        checkpoint_partials(df, HLLSpec(p=12), ["user_id"], ckpt, "r2",
+                            only_pids={0})
+        est = sketch_from_bytes(
+            merged_sketch_bytes(spark, ckpt, "r2")).estimate()
+        assert abs(est - 2000) <= 2000 * 0.1
+
+
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16,
+                          seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.standard_normal(dim) * 0.15
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return (spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"),
+            centers)
+
+
+class TestANN:
+    def test_ivf_and_lsh_recall_on_clustered_data(self, spark):
+        from sparksketch.similarity import (cosine_topk, ivf_topk,
+                                            signlsh_topk)
+        emb, centers = _clustered_embeddings(spark)
+        q = centers[3] * 1.02
+        truth = {r.vec_id for r in
+                 cosine_topk(emb, q, k=10).collect()}
+        ivf = {r.vec_id for r in
+               ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3).collect()}
+        lsh = {r.vec_id for r in
+               signlsh_topk(emb, q, k=10, n_planes=10, max_flip=3).collect()}
+        assert len(truth & ivf) >= 7
+        assert len(truth & lsh) >= 7
+
+    def test_bruteforce_matches_numpy(self, spark):
+        from sparksketch.similarity import cosine_topk
+        emb, centers = _clustered_embeddings(spark, n_clusters=4,
+                                             per_cluster=25)
+        q = centers[1]
+        rows = emb.orderBy("vec_id").collect()
+        mat = np.array([r.embedding for r in rows])
+        sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        want = set(np.argsort(-np.round(sims, 5))[:10].tolist())
+        got = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+        # rounding ties can swap the boundary entry
+        assert len(want & got) >= 9
+
+
+class TestDedupAccuracy:
+    def test_minhash_estimates_exact_jaccard(self, spark):
+        from sparksketch.dedup import (exact_jaccard_pairs,
+                                       minhash_signatures,
+                                       signature_jaccard)
+        # doc pairs with controlled shingle overlap
+        words = [f"w{i}" for i in range(60)]
+        docs = [(0, " ".join(words[:40])),
+                (1, " ".join(words[20:60])),   # ~1/3 trigram overlap w/ 0
+                (2, " ".join(words[:40]))]     # identical to 0
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        sigs = minhash_signatures(df, "doc_id", n_perm=256, shingle_n=3)
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2)], "id_a bigint, id_b bigint")
+        est = {(r.id_a, r.id_b): r.est_jaccard
+               for r in signature_jaccard(sigs, pairs, "doc_id").collect()}
+        exact = {(r.id_a, r.id_b): r.jaccard
+                 for r in exact_jaccard_pairs(df, "doc_id", shingle_n=3)
+                 .collect()}
+        assert est[(0, 2)] == 1.0 and exact[(0, 2)] == 1.0
+        assert abs(est[(0, 1)] - exact[(0, 1)]) <= 3 / np.sqrt(256)
+
+    def test_simhash_near_identical_docs(self, spark):
+        from sparksketch.dedup import simhash_near_dups
+        base = " ".join(f"tok{i}" for i in range(100))
+        tweaked = base.replace("tok50", "tokX")
+        other = " ".join(f"zzz{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [(0, base), (1, tweaked), (2, other)],
+            "doc_id bigint, text string")
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in simhash_near_dups(df, "doc_id",
+                                            max_hamming=10).collect()}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+class TestMultimodal:
+    def test_image_features_deterministic_schema(self, spark):
+        from sparksketch.multimodal import image_features, synthesize_media
+        media = synthesize_media(spark, n=30)
+        a = image_features(media, fake=True).orderBy("media_id").collect()
+        b = image_features(media, fake=True).orderBy("media_id").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) == 10  # one third of kinds are images
+        r0 = a[0]
+        assert 0 <= r0.mean_r <= 255 and len(r0.histo) == 16
+
+    def test_decode_stub_raises_without_fake(self, spark):
+        from sparksketch.multimodal import decode_image
+        with pytest.raises(NotImplementedError):
+            decode_image(b"abc", fake=False)
