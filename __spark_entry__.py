@@ -293,6 +293,43 @@ def q_ann_topk_cosine(spark, sf_dir):
     return cosine_topk(emb, q, k=10, exclude_id=0).select("vec_id", "sim")
 
 
+def q_bloom_setops_estimates(spark, sf_dir):
+    """B13 SetOperations + A8/B6/B7 estimates over two distributed Bloom
+    filters (customers ordering in the two order-year halves): estimateN /
+    estimateUnion / estimateIntersection each within the estimator's
+    3-sigma bound (std ~ n/sqrt(2m)) of the exact SQL value, plus exact
+    counts for the oracle."""
+    from sparksketch.agg import BloomSpec, build_partials, tree_aggregate
+    from sparksketch.shape import Shape
+    from sparksketch.sketches import sketch_from_bytes
+    from sparksketch.sketches.setops import (estimate_intersection,
+                                             estimate_union)
+    orders = _tbl(spark, sf_dir, "orders")
+    a_df = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b_df = orders.filter(F.col("o_orderkey") % 2 == 1)
+    n = orders.count()
+    shape = Shape.from_np(max(4 * n, 1024), 1e-6)
+    bfa = sketch_from_bytes(tree_aggregate(
+        build_partials(a_df, BloomSpec(shape), ["o_custkey"])))
+    bfb = sketch_from_bytes(tree_aggregate(
+        build_partials(b_df, BloomSpec(shape), ["o_custkey"])))
+    ex_a = a_df.select("o_custkey").distinct().count()
+    ex_b = b_df.select("o_custkey").distinct().count()
+    ex_u = (a_df.select("o_custkey").union(b_df.select("o_custkey"))
+            .distinct().count())
+    ex_i = ex_a + ex_b - ex_u
+    tol = lambda x: max(3 * x / np.sqrt(2 * shape.m) + 2, 3)  # noqa: E731
+    ok_a = abs(bfa.estimate_n() - ex_a) <= tol(ex_a)
+    ok_u = abs(estimate_union(bfa, bfb) - ex_u) <= tol(ex_u)
+    ok_i = abs(estimate_intersection(bfa, bfb) - ex_i) <= 2 * tol(ex_u)
+    return spark.createDataFrame(
+        [(bool(ok_a), bool(ok_u), bool(ok_i),
+          int(ex_a), int(ex_b), int(ex_u), int(ex_i))],
+        "est_n_ok boolean, est_union_ok boolean, est_inter_ok boolean, "
+        "exact_a bigint, exact_b bigint, exact_union bigint, "
+        "exact_inter bigint")
+
+
 def q_grouped_kmv_role_distinct(spark, sf_dir):
     """Salted grouped aggregation (north_rule skew path): per-role distinct
     texts via bottom-k sketches built as (role, salt) partials then
@@ -483,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features_documents": q_quality_features_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
+        "bloom_setops_estimates": q_bloom_setops_estimates,
         "grouped_kmv_role_distinct": q_grouped_kmv_role_distinct,
         "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -546,6 +584,17 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT count(DISTINCT conv_id) AS distinct_convs FROM t",
         "cms_event_type_counts":
             "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+        "bloom_setops_estimates": """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1),
+     u AS (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+SELECT true AS est_n_ok, true AS est_union_ok, true AS est_inter_ok,
+       (SELECT count(*) FROM a) AS exact_a,
+       (SELECT count(*) FROM b) AS exact_b,
+       (SELECT count(*) FROM u) AS exact_union,
+       (SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+           - (SELECT count(*) FROM u) AS exact_inter
+""",
         "cms_tool_counts":
             _TRANSCRIPTS_CTE
             + "SELECT tool, count(*) AS cnt FROM t WHERE tool IS NOT NULL "

@@ -182,6 +182,7 @@ def main() -> None:
     lo, hi = SCALE_LO, 4 * SCALE_LO
     levels = [lo, hi] + ([CPUS] if CPUS not in (lo, hi) else [])
     reps: dict[int, list[tuple[float, float]]] = {c: [] for c in levels}
+    cal: dict[int, list[float]] = {c: [] for c in levels}
     queries = {}
     for rep in range(max(REPS, 1)):
         for cores in levels:
@@ -192,6 +193,9 @@ def main() -> None:
             if rep == max(REPS, 1) - 1 and cores == levels[-1]:
                 queries = _headline_queries(spark, SF_DIR)
             spark.stop()
+            # calibrate the hardware in the SAME time window as the rep —
+            # the host's deliverable CPU drifts on a minutes timescale
+            cal[cores].append(_cpu_calibration([cores])[f"p{cores}"])
     scaling = {}
     for cores in levels:
         best = min(s for s, _ in reps[cores])
@@ -200,15 +204,24 @@ def main() -> None:
             "build_sec_reps": [round(s, 3) for s, _ in reps[cores]],
             "steal_pct_reps": [st for _, st in reps[cores]],
             "turns_per_sec": round(N_TURNS / best),
+            "cal_tasks_per_sec": max(cal[cores]),
         }
     thr = {c: scaling[f"c{c}"]["turns_per_sec"] for c in levels}
     eff = thr[hi] / ((hi / lo) * thr[lo])
     scaling["efficiency"] = round(eff, 3)
     scaling["pair"] = [lo, hi]
+    # the same 4x ratio measured on bare multiprocessing NumPy work — what
+    # the VM itself can deliver; our efficiency is capped by this
+    hw_ceiling = max(cal[hi]) / ((hi / lo) * max(cal[lo]))
+    scaling["hw_ceiling"] = round(hw_ceiling, 3)
+    scaling["efficiency_vs_hw"] = round(min(eff / hw_ceiling, 1.5), 3)
     if CPUS in thr and CPUS != hi:
         scaling[f"efficiency_{hi}_{CPUS}"] = round(
             thr[CPUS] / ((CPUS / hi) * thr[hi]), 3)
-    scaling["cpu_calibration_tasks_per_sec"] = _cpu_calibration(levels)
+        scaling[f"hw_ceiling_{hi}_{CPUS}"] = round(
+            max(cal[CPUS]) / ((CPUS / hi) * max(cal[hi])), 3)
+    scaling["cpu_calibration_tasks_per_sec"] = {
+        f"p{c}": max(cal[c]) for c in levels}
     scaling["n_turns"] = N_TURNS
     scaling["input_partitions"] = N_PARTS
 
@@ -238,18 +251,22 @@ def main() -> None:
             f.write(f"| local[{cores}] | {s['build_sec']} | "
                     f"{s['turns_per_sec']} |\n")
         f.write(f"\n**Scaling efficiency (N={lo} -> 4N={hi}): {eff:.3f}** "
-                f"(target >= 0.8, BASELINE.json north_rule)\n\n")
-        cal = scaling["cpu_calibration_tasks_per_sec"]
+                f"(target >= 0.8, BASELINE.json north_rule)\n")
+        f.write(f"Hardware ceiling for the same pair (no-Spark "
+                f"multiprocessing NumPy, measured in the same time windows): "
+                f"{scaling['hw_ceiling']:.3f} -> **efficiency vs what the "
+                f"VM can deliver: {scaling['efficiency_vs_hw']:.3f}**.\n\n")
+        calj = scaling["cpu_calibration_tasks_per_sec"]
         f.write("CPU calibration (no-Spark multiprocessing NumPy tasks/sec "
                 "per process count — the VM's own scaling ceiling): "
-                f"{cal}.\n")
+                f"{calj}.\n")
         if f"efficiency_{hi}_{CPUS}" in scaling:
-            cr = cal.get(f"p{CPUS}", 0) / max(cal.get(f"p{hi}", 1), 1e-9)
             f.write(f"The {hi}->{CPUS} pair measured "
                     f"{scaling[f'efficiency_{hi}_{CPUS}']} vs a hardware "
-                    f"ceiling of {cr/(CPUS/hi):.2f} on this VM (host "
-                    f"oversubscription: {CPUS} vCPUs deliver ~{cr:.1f}x the "
-                    f"throughput of {hi} processes on pure NumPy work).\n\n")
+                    f"ceiling of {scaling[f'hw_ceiling_{hi}_{CPUS}']} on "
+                    f"this VM (host oversubscription: {CPUS} vCPUs cannot "
+                    f"deliver {CPUS // hi}x the throughput of {hi} "
+                    f"processes even on pure NumPy work).\n\n")
         f.write("| query | sec |\n|---|---|\n")
         for k, v in sorted(queries.items()):
             f.write(f"| {k} | {v} |\n")

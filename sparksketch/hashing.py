@@ -70,6 +70,25 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray:
     return z
 
 
+def hash_array64(a: np.ndarray, seed: int = 0) -> int:
+    """Deterministic 64-bit content hash of an ndarray, fully vectorized
+    (position-mixed SplitMix64, XOR-folded).  Used where a content-derived
+    coin flip must be reproducible regardless of how the data got there
+    (e.g. the KLL compaction offset bit) — a per-byte Python loop here
+    costs more than the compaction itself."""
+    u8 = np.ascontiguousarray(a).view(np.uint8)
+    pad = (-u8.size) % 8
+    if pad:
+        u8 = np.concatenate([u8, np.zeros(pad, dtype=np.uint8)])
+    u64 = u8.view(np.uint64)
+    with np.errstate(over="ignore"):
+        pos = splitmix64(np.arange(u64.size, dtype=np.uint64)
+                         + _U64(seed & 0xFFFFFFFFFFFFFFFF))
+        mixed = splitmix64(u64 ^ pos)
+        acc = np.bitwise_xor.reduce(mixed) if mixed.size else _U64(0)
+        return int(splitmix64(acc ^ _U64(a.size)))
+
+
 def hash_bytes64(data: bytes, seed: int = 0) -> int:
     """Deterministic 64-bit hash of a byte string (FNV-1a + splitmix finisher).
 

@@ -24,7 +24,7 @@ import struct
 
 import numpy as np
 
-from ..hashing import hash_bytes64
+from ..hashing import hash_array64
 from .base import KIND_KLL, Sketch, pack_header, register
 
 _HDR = struct.Struct("<IQddB")  # k, n, min, max, n_levels
@@ -63,7 +63,7 @@ class KLLSketch(Sketch):
                 if self.levels[h].size >= self._cap(h):
                     lv = np.sort(self.levels[h])
                     # deterministic offset bit from content hash
-                    off = hash_bytes64(lv.tobytes(), seed=h) & 1
+                    off = hash_array64(lv, seed=h) & 1
                     keep = lv[off::2]
                     self.levels[h] = np.zeros(0)
                     if h + 1 == len(self.levels):

@@ -1,0 +1,116 @@
+"""Physical-plan inspection for the core operator pipelines.
+
+Prints `.explain("formatted")` for representative plans and checks the
+scale-critical properties directly from the plan text:
+
+- column pruning reaches the parquet scan (ReadSchema lists only used cols)
+- predicate pushdown reaches the scan (PushedFilters non-empty where a
+  filter exists)
+- the sketch-build plan has NO Exchange before the mapInPandas partials
+  (raw rows never shuffle; only sketch blobs do)
+- probe-side plans stay in WholeStageCodegen up to the single Arrow eval
+
+Usage: PYTHONPATH=/root/repo python tools/explain_plans.py [sf_dir]
+"""
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, want: list, forbid: list) -> bool:
+    ok = True
+    for w in want:
+        if w not in plan:
+            print(f"  MISSING: {w!r}")
+            ok = False
+    for fb in forbid:
+        if fb in plan:
+            print(f"  FORBIDDEN PRESENT: {fb!r}")
+            ok = False
+    print(f"{'PASS' if ok else 'FAIL'}  {name}")
+    return ok
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+    from sparksketch.agg import (BloomSpec, HLLSpec, build_partials,
+                                 build_partials_multi, with_might_contain)
+    from sparksketch.shape import Shape
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    ok = True
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+
+    # 1. partial build: projection-only scan, no shuffle before mapInPandas
+    p1 = plan_of(build_partials(orders, BloomSpec(Shape.from_np(1000, 1e-6)),
+                                ["o_custkey"]))
+    print(p1)
+    ok &= check("bloom build partials: pruned scan, zero shuffle", p1,
+                want=["MapInPandas", "ReadSchema: struct<o_custkey:bigint>"],
+                forbid=["Exchange"])
+
+    # 2. filtered build: predicate pushed to the scan
+    p2 = plan_of(build_partials(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        HLLSpec(p=12), ["o_custkey"]))
+    print(p2)
+    ok &= check("filtered build: pushdown + 2-col scan", p2,
+                want=["PushedFilters: [IsNotNull(o_orderstatus), "
+                      "EqualTo(o_orderstatus,F)]"],
+                forbid=["Exchange"])
+
+    # 3. membership semi-join: map-side filter, no shuffle, ONE UDF eval
+    # (keeping the probe column after the filter would make Catalyst
+    # evaluate the pandas UDF twice — filter+drop collapses it to one)
+    blob = __import__("sparksketch.agg", fromlist=["tree_aggregate"]) \
+        .tree_aggregate(build_partials(
+            orders, BloomSpec(Shape.from_np(100_000, 1e-6)), ["o_custkey"]))
+    semi = (with_might_contain(customer.select("c_custkey"), blob,
+                               ["c_custkey"], "_mc")
+            .filter(F.col("_mc")).drop("_mc"))
+    p3 = plan_of(semi)
+    print(p3)
+    ok &= check("bloom semi-join: map-side, no shuffle, codegen filter", p3,
+                want=["ArrowEvalPython", "* Filter",
+                      "ReadSchema: struct<c_custkey:bigint>"],
+                forbid=["Exchange"])
+    # one eval NODE = header line + its detail section
+    assert p3.count("ArrowEvalPython") == 2, "probe UDF must evaluate once"
+    print("PASS  bloom semi-join evaluates the probe UDF exactly once")
+
+    # 4. multi-sketch single pass: ONE scan feeds all sketches
+    p4 = plan_of(build_partials_multi(orders, {
+        "h": (HLLSpec(p=12), ["o_custkey"]),
+        "b": (BloomSpec(Shape.from_np(1000, 1e-6)), ["o_custkey", "o_orderstatus"]),
+    }))
+    print(p4)
+    ok &= check("multi-sketch: one scan, one Arrow crossing", p4,
+                want=["MapInPandas"], forbid=["Exchange", "Union"])
+    assert p4.count("Scan parquet") == 1, "multi-sketch must scan ONCE"
+    print("PASS  multi-sketch scans parquet exactly once")
+
+    spark.stop()
+    print("\nALL PLAN CHECKS PASSED" if ok else "\nPLAN CHECKS FAILED")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
