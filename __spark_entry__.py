@@ -480,9 +480,17 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Embedding cosine near-dup via sign-LSH bucket join + exact verify.
+    The sf embeddings are near-orthogonal random vectors, so 5 duplicates
+    are PLANTED deterministically (scaled copies — cosine exactly 1.0) and
+    must come back; anything else returned passed the >=0.8 exact check."""
     from sparksketch.dedup import embedding_near_dups
-    return embedding_near_dups(_tbl(spark, sf_dir, "embeddings"),
-                               threshold=0.8)
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") < 5)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: x * F.lit(1.5)).alias("embedding")))
+    return embedding_near_dups(emb.unionByName(planted), threshold=0.8)
 
 
 def q_lang_id_documents(spark, sf_dir):
