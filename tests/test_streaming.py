@@ -46,6 +46,25 @@ class TestWindowedSketchState:
         assert abs(est1 - 80) <= 80 * 3 * snap[1].rel_std_error() + 1
         assert abs(est2 - 40) <= 40 * 3 * snap[2].rel_std_error() + 1
 
+    def test_watermark_drops_old_windows(self, spark, tmp_path):
+        from sparksketch.agg import HLLSpec
+        from sparksketch.streaming import WindowedSketchState
+        import datetime as dt
+
+        wss = WindowedSketchState(HLLSpec(p=12), ["user_id"],
+                                  str(tmp_path), window="1 day",
+                                  watermark="2 days")
+        d1 = dt.datetime(2026, 1, 1, 12)
+        d9 = dt.datetime(2026, 1, 9, 12)
+        wss.process_batch(_mk_events(spark, [(u, d1, "a")
+                                             for u in range(10)]), 0)
+        wss.process_batch(_mk_events(spark, [(u, d9, "b")
+                                             for u in range(10)]), 1)
+        days = sorted(r.window_start.day
+                      for r in wss.snapshot(spark).collect())
+        # day-1 window is 8 days behind the horizon -> evicted from state
+        assert days == [9]
+
     def test_rows_accumulate(self, spark, tmp_path):
         from sparksketch.agg import BloomSpec
         from sparksketch.shape import Shape
