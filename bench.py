@@ -251,7 +251,7 @@ def main() -> None:
         f.write("# BENCH — measured results\n\n")
         f.write(f"Build suite input: {N_TURNS} synthetic transcript turns in "
                 f"{N_PARTS} partitions (identical at both levels); one pass "
-                f"builds HLL(p=14) + Bloom + CMS(2^16x4) + KLL(400) and "
+                f"builds HLL(p=14) + Bloom + CMS(2^14x4) + KLL(400) and "
                 f"tree-merges.\nQuery suite input: {SF_DIR}.\n\n")
         f.write("| parallelism | build sec (best of reps) | turns/sec |\n")
         f.write("|---|---|---|\n")

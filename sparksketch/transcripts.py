@@ -41,7 +41,8 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``user_id`` plays conv_id (FIXTURES.md §2); dense turn_idx by event_id
     order — the stable (conv_id, turn_idx) ordering key of input_hint."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .io import read_table
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("event_id")
     return ev.select(
         F.concat(F.lit("conv-"),
