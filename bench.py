@@ -30,7 +30,7 @@ from N to 4N):
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 2_000_000),
-     SPARK_GRAFT_SCALE_LO (default 2), SPARK_GRAFT_REPS (default 2).
+     SPARK_GRAFT_SCALE_LO (default 2), SPARK_GRAFT_REPS (default 3).
 """
 
 from __future__ import annotations
