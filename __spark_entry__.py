@@ -131,6 +131,22 @@ def q_cms_tool_counts(spark, sf_dir):
             .select("tool", F.col("cnt").cast("long").alias("cnt")))
 
 
+def q_cms_heavy_hitter_tools(spark, sf_dir):
+    """Heavy hitters (SURVEY Table C): tools with count >= 10% of tool
+    rows, via per-partition pigeonhole candidates + merged-CMS scoring —
+    zero false negatives by construction; exact regime => equals GROUP BY
+    HAVING."""
+    from sparksketch.agg import cms_heavy_hitters
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir).filter(
+        F.col("tool").isNotNull())
+    n = tr.count()
+    min_count = max(n // 10, 1)
+    return (cms_heavy_hitters(tr, ["tool"], min_count, w=1 << 16, d=5)
+            .select("tool", F.col("est_count").cast("long")
+                    .alias("est_count")))
+
+
 def q_kll_event_value_quantiles(spark, sf_dir):
     """KLL in the exact regime (capacity >= n): quantile_cont semantics."""
     from sparksketch.agg import KLLSpec, sketch_dataframe
@@ -516,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_convs": q_kmv_distinct_convs,
         "cms_event_type_counts": q_cms_event_type_counts,
         "cms_tool_counts": q_cms_tool_counts,
+        "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
         "kll_event_value_quantiles": q_kll_event_value_quantiles,
         "kll_lineitem_qty_quantiles": q_kll_lineitem_qty_quantiles,
         "tdigest_price_bound": q_tdigest_price_bound,
@@ -607,6 +624,12 @@ SELECT true AS est_n_ok, true AS est_union_ok, true AS est_inter_ok,
             _TRANSCRIPTS_CTE
             + "SELECT tool, count(*) AS cnt FROM t WHERE tool IS NOT NULL "
               "GROUP BY tool",
+        "cms_heavy_hitter_tools":
+            _TRANSCRIPTS_CTE
+            + """SELECT tool, count(*) AS est_count FROM t
+WHERE tool IS NOT NULL GROUP BY tool
+HAVING count(*) >= greatest(CAST(floor(
+    (SELECT count(*) FROM t WHERE tool IS NOT NULL) / 10) AS BIGINT), 1)""",
         "kll_event_value_quantiles":
             _quantile_oracle("value", "value", "events"),
         "kll_lineitem_qty_quantiles":

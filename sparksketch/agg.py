@@ -537,6 +537,43 @@ def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
     return flagged.filter(F.col("_mc")).drop("_mc")
 
 
+def cms_heavy_hitters(df: DataFrame, cols: Sequence[str],
+                      min_count: int, w: int = 1 << 16, d: int = 5,
+                      num_partitions: int | None = None) -> DataFrame:
+    """Heavy hitters with guaranteed recall: keys with global count >=
+    ``min_count`` (SURVEY.md Table C "top-k heavy hitters = CMS estimate +
+    candidate pass").
+
+    One pass produces (a) per-partition CMS partials and (b) per-partition
+    LOCAL candidates: keys with local count >= min_count / P.  By
+    pigeonhole, any key with global count >= min_count exceeds that local
+    bar in at least one of the P partitions, so the candidate union has NO
+    false negatives; raw keys never shuffle — only candidates do.  The
+    merged CMS (one-sided overestimate) then scores candidates and keeps
+    est >= min_count: still zero false negatives, and false positives are
+    bounded by the CMS eps*N guarantee.  With w >> distinct keys the
+    result is exactly ``GROUP BY ... HAVING count(*) >= min_count``.
+
+    Output: DataFrame[*cols, est_count] (candidate keys with their CMS
+    estimates, filtered to est >= min_count).
+    """
+    P = num_partitions or df.rdd.getNumPartitions() or 1
+    local_bar = max(min_count // max(P, 1), 1)
+    spec = CMSSpec(w=w, d=d)
+    blob = tree_aggregate(build_partials(df, spec, cols))
+    if blob is None:
+        return df.select(*cols).limit(0).withColumn(
+            "est_count", F.lit(0).cast("long"))
+    # local candidate pass: partial-agg counts (map-side combine by
+    # Catalyst), filtered to the pigeonhole bar, then distinct keys
+    local = (df.groupBy(F.spark_partition_id().alias("_pid"), *cols)
+             .agg(F.count("*").alias("_lc"))
+             .filter(F.col("_lc") >= local_bar)
+             .select(*cols).distinct())
+    scored = cms_lookup(local, blob, cols, out_col="est_count")
+    return scored.filter(F.col("est_count") >= min_count)
+
+
 def cms_lookup(df: DataFrame, blob: bytes,
                cols: Sequence[str | Column],
                out_col: str = "cms_count") -> DataFrame:

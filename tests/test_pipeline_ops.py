@@ -67,6 +67,22 @@ class TestCheckpointResume:
         assert abs(est - 2000) <= 2000 * 0.1
 
 
+class TestHeavyHitters:
+    def test_no_false_negatives_and_exact_regime(self, spark):
+        from sparksketch.agg import cms_heavy_hitters
+        rows = ([("hot",)] * 500 + [("warm",)] * 120
+                + [(f"cold{i % 40}",) for i in range(200)])
+        df = spark.createDataFrame(rows, "k string").repartition(8)
+        got = {r.k: r.est_count
+               for r in cms_heavy_hitters(df, ["k"], min_count=100,
+                                          w=1 << 14, d=5).collect()}
+        # recall: every key >= min_count present, with exact-regime counts
+        assert got.get("hot") == 500
+        assert got.get("warm") == 120
+        # precision in the exact regime: no cold key (max count 5) appears
+        assert set(got) == {"hot", "warm"}
+
+
 def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16,
                           seed=7):
     rng = np.random.default_rng(seed)
