@@ -489,6 +489,18 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     return signature_jaccard(sigs, pairs, "doc_id")
 
 
+def q_winnow_fingerprint_pairs(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003) + shared-
+    fingerprint candidate pairs (rows-only; the shared-run guarantee is
+    asserted in tests/test_pipeline_ops.py)."""
+    from sparksketch.dedup import (fingerprint_overlap_pairs,
+                                   winnowed_fingerprints)
+    docs = _tbl(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(docs, "doc_id", k=5, window=4)
+    return (fingerprint_overlap_pairs(fps, "doc_id", min_shared=2)
+            .select("id_a", "id_b", "shared"))
+
+
 def q_simhash_near_dups(spark, sf_dir):
     from sparksketch.dedup import simhash_near_dups
     return simhash_near_dups(_tbl(spark, sf_dir, "documents"), "doc_id",
@@ -553,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_distinct": q_streaming_windowed_distinct,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_near_dups": q_simhash_near_dups,
+        "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id_documents": q_lang_id_documents,
         "multimodal_image_features": q_multimodal_image_features,

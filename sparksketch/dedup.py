@@ -38,13 +38,15 @@ def exact_dedup_rows(df: DataFrame, text_col: str = "text",
 
 # -- shingles / n-grams (JVM expressions) -----------------------------------
 
-def gram_array(text_col: str = "text", n: int = 3):
-    """Distinct word-n-gram array column (JVM expressions only):
-    split -> transform(sequence) -> array_distinct."""
+def gram_array(text_col: str = "text", n: int = 3, distinct: bool = True):
+    """Word-n-gram array column (JVM expressions only): split ->
+    transform(sequence) [-> array_distinct].  Keep order (distinct=False)
+    where position matters (winnowing)."""
     toks = tokens_col(text_col)
-    return F.array_distinct(F.transform(
+    grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str = "text",
@@ -167,6 +169,55 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                                              - F.col("i")), 6)))
     return (out.filter(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
+
+
+# -- winnowed fingerprints (Schleimer, Wilkerson, Aiken 2003) ---------------
+
+def winnowed_fingerprints(df: DataFrame, id_col: str, text_col: str = "text",
+                          k: int = 5, window: int = 4) -> DataFrame:
+    """(id, fingerprints array<long>) — winnowing document fingerprints:
+    the minimum k-gram hash of every sliding window of ``window`` grams,
+    deduplicated.  Guarantees any shared run of >= window+k-1 tokens
+    between two documents yields a shared fingerprint, while keeping only
+    ~2/(window+1) of all gram hashes — the classic local-document-
+    fingerprinting scheme (MOSS).  Gram hashing is JVM-side in row order;
+    ONE scalar pandas UDF does the windowed minima for a whole Arrow
+    batch."""
+
+    @F.pandas_udf("array<long>")
+    def winnow(ghs: pd.Series) -> pd.Series:
+        out = []
+        for lst in ghs:
+            h = np.asarray(lst, dtype=np.int64)
+            if h.size == 0:
+                out.append([])
+                continue
+            if h.size <= window:
+                out.append([int(h.min())])
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(
+                h, window).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    grams = F.transform(gram_array(text_col, k, distinct=False),
+                        lambda g: F.xxhash64(g))
+    return df.select(F.col(id_col), winnow(grams).alias("fingerprints"))
+
+
+def fingerprint_overlap_pairs(fp_df: DataFrame, id_col: str,
+                              min_shared: int = 2) -> DataFrame:
+    """Candidate near-dup pairs sharing >= min_shared winnowed
+    fingerprints — an inverted-index join on fingerprint values (only
+    fingerprints shuffle, never text)."""
+    ex = fp_df.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    a = ex.select(F.col(id_col).alias("id_a"), "fp")
+    b = ex.select(F.col(id_col).alias("id_b"), "fp")
+    return (a.join(b, ["fp"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("shared"))
+             .filter(F.col("shared") >= min_shared))
 
 
 # -- SimHash near-dup -------------------------------------------------------

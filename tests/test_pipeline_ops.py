@@ -149,6 +149,28 @@ class TestDedupAccuracy:
         assert est[(0, 2)] == 1.0 and exact[(0, 2)] == 1.0
         assert abs(est[(0, 1)] - exact[(0, 1)]) <= 3 / np.sqrt(256)
 
+    def test_winnowing_shared_run_guarantee(self, spark):
+        from sparksketch.dedup import (fingerprint_overlap_pairs,
+                                       winnowed_fingerprints)
+        k, w = 5, 4
+        shared_run = " ".join(f"s{i}" for i in range(k + w + 6))
+        docs = [(0, "a b c " + shared_run),
+                (1, shared_run + " x y z"),     # shares the long run with 0
+                (2, " ".join(f"q{i}" for i in range(30)))]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        fps = winnowed_fingerprints(df, "doc_id", k=k, window=w)
+        rows = {r.doc_id: set(r.fingerprints) for r in fps.collect()}
+        # winnowing guarantee: a shared token run >= window+k-1 yields at
+        # least one shared fingerprint
+        assert rows[0] & rows[1]
+        assert not (rows[0] & rows[2]) and not (rows[1] & rows[2])
+        # determinism + density: far fewer fingerprints than grams
+        assert all(0 < len(v) <= 40 for v in rows.values())
+        pairs = {(r.id_a, r.id_b)
+                 for r in fingerprint_overlap_pairs(fps, "doc_id",
+                                                    min_shared=1).collect()}
+        assert pairs == {(0, 1)}
+
     def test_simhash_near_identical_docs(self, spark):
         from sparksketch.dedup import simhash_near_dups
         base = " ".join(f"tok{i}" for i in range(100))
