@@ -76,9 +76,13 @@ def test_kll_rank_error_bound(vals):
         return
     for q in (0.1, 0.5, 0.9):
         est = sk.quantile(q)
-        rank = float((np.sort(v) <= est).mean())
-        # k=200 => eps ~ 1.7/k * sqrt(...) — generous bound for tiny n
-        assert abs(rank - q) <= max(0.1, 2.0 / np.sqrt(v.size))
+        # with duplicated values a point "rank of est" is ill-defined
+        # (hypothesis: all-equal input); the correct acceptance is the
+        # interval form: strictly-less mass can't exceed q+tol and
+        # less-or-equal mass can't fall below q-tol
+        tol = max(0.1, 2.0 / np.sqrt(v.size))
+        assert float((v < est).mean()) <= q + tol
+        assert float((v <= est).mean()) >= q - tol
 
 
 @settings(max_examples=100, deadline=None)
