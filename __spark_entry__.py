@@ -168,6 +168,27 @@ def q_kll_lineitem_qty_quantiles(spark, sf_dir):
     return spark.createDataFrame(rows, "q double, qty double")
 
 
+def q_kll_grouped_qty_quantiles(spark, sf_dir):
+    """Grouped quantiles: one KLL sketch per l_returnflag group via the
+    two-phase grouped aggregation, exact regime (k >= n) => quantile_cont
+    semantics per group."""
+    from sparksketch.agg import KLLSpec, grouped_sketch
+    from sparksketch.sketches import sketch_from_bytes
+    li = _tbl(spark, sf_dir, "lineitem")
+    n = li.count()
+    per = grouped_sketch(li, ["l_returnflag"],
+                         KLLSpec(k=max(2 * n, 64), col="l_quantity"),
+                         ["l_orderkey"])
+    rows = []
+    for r in per.collect():
+        sk = sketch_from_bytes(bytes(r.sketch))
+        for q in (0.25, 0.5, 0.75):
+            rows.append((r.l_returnflag, float(q),
+                         float(round(sk.quantile(q), 6))))
+    return spark.createDataFrame(sorted(rows),
+                                 "l_returnflag string, q double, qty double")
+
+
 def q_tdigest_price_bound(spark, sf_dir):
     """t-digest quantiles within published tolerance of exact (boolean)."""
     from sparksketch.agg import TDigestSpec, sketch_dataframe
@@ -547,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
         "kll_event_value_quantiles": q_kll_event_value_quantiles,
         "kll_lineitem_qty_quantiles": q_kll_lineitem_qty_quantiles,
+        "kll_grouped_qty_quantiles": q_kll_grouped_qty_quantiles,
         "tdigest_price_bound": q_tdigest_price_bound,
         "hll_distinct_users_bound": q_hll_distinct_users_bound,
         "layered_daily_distinct_users": q_layered_daily_distinct_users,
@@ -647,6 +669,11 @@ HAVING count(*) >= greatest(CAST(floor(
             _quantile_oracle("value", "value", "events"),
         "kll_lineitem_qty_quantiles":
             _quantile_oracle("l_quantity", "qty", "lineitem"),
+        "kll_grouped_qty_quantiles": " UNION ALL ".join(
+            f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
+            f"round(quantile_cont(l_quantity, {q}), 6) AS qty "
+            f"FROM lineitem GROUP BY l_returnflag"
+            for q in (0.25, 0.5, 0.75)),
         "tdigest_price_bound":
             "SELECT true AS all_within_bound, count(*) AS n FROM lineitem",
         "hll_distinct_users_bound":
