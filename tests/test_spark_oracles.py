@@ -56,6 +56,30 @@ class TestAgainstSparkBuiltins:
             assert abs(rank - rank_spark) <= 0.06
 
 
+class TestMultiSketchInvariance:
+    def test_multi_build_byte_identical_across_partitionings(self, spark,
+                                                             events):
+        """North-rule byte-identity extends to the one-pass multi-sketch
+        builder: any partition count yields the same final blobs for every
+        commutative kind in the pass."""
+        from sparksketch.agg import (BloomSpec, CMSSpec, HLLSpec,
+                                     build_partials_multi,
+                                     tree_aggregate_multi)
+        from sparksketch.shape import Shape
+        specs = {
+            "h": (HLLSpec(p=12), ["user_id"]),
+            "b": (BloomSpec(Shape.from_np(2000, 1e-6)), ["user_id"]),
+            "c": (CMSSpec(w=1 << 12, d=4), ["event_type"]),
+        }
+        blobs = []
+        for parts in (2, 4, 8):
+            df = events.repartition(parts)
+            blobs.append(tree_aggregate_multi(
+                build_partials_multi(df, specs), list(specs)))
+        for n in specs:
+            assert blobs[0][n] == blobs[1][n] == blobs[2][n]
+
+
 class TestDistributedTreeRounds:
     def test_tree_rounds_match_driver_fold(self, spark, events):
         """Force the >collect_max branch (cluster-scale path): DataFrame
