@@ -598,21 +598,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB SQL on the pre-registered views)
 # ---------------------------------------------------------------------------
 
-_TRANSCRIPTS_CTE = """
-WITH t AS (
-SELECT
-  'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0')                AS conv_id,
-  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
-       AS INTEGER)                                                 AS turn_idx,
-  CASE CAST(event_id % 4 AS INTEGER)
-       WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
-       WHEN 2 THEN 'tool' ELSE 'system' END                        AS role,
-  props                                                            AS text,
-  CASE WHEN event_id % 4 = 2 THEN event_type ELSE NULL END         AS tool,
-  ts                                                               AS ts
-FROM events
-)
-"""
+# single-sourced from sparksketch.transcripts so the Spark derivation and
+# the DuckDB oracle CTE can never drift apart
+def _transcripts_cte() -> str:
+    from sparksketch.transcripts import TRANSCRIPTS_SQL
+    return "WITH t AS (" + TRANSCRIPTS_SQL + ")\n"
+
+
+_TRANSCRIPTS_CTE = _transcripts_cte()
 
 def _quantile_oracle(col: str, out: str, table: str) -> str:
     # DuckDB quantile_cont requires constant parameters -> UNION ALL
