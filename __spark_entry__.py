@@ -190,22 +190,28 @@ def q_kll_grouped_qty_quantiles(spark, sf_dir):
 
 
 def q_tdigest_price_bound(spark, sf_dir):
-    """t-digest quantiles within published tolerance of exact (boolean)."""
+    """t-digest quantiles within published tolerance of exact (boolean).
+
+    The true rank of each estimate is computed DISTRIBUTIVELY — one
+    aggregate pass of |QS| conditional sums — never by materializing the
+    value column on the driver (a 100TB-safe plan: the check costs one
+    codegen'd scan regardless of data size)."""
     from sparksketch.agg import TDigestSpec, sketch_dataframe
     li = _tbl(spark, sf_dir, "lineitem")
     sk = sketch_dataframe(li, TDigestSpec(compression=200, col="l_extendedprice"),
                           ["l_orderkey"], canonical=True)
-    exact = li.approxQuantile("l_extendedprice", list(QS), 0.0)
-    n = sk.n
+    ests = {q: float(sk.quantile(q)) for q in QS}
+    counts = li.agg(
+        F.count("*").alias("_n"),
+        *[F.sum((F.col("l_extendedprice") <= F.lit(ests[q])).cast("long"))
+          .alias(f"_c{i}") for i, q in enumerate(QS)]).first()
+    n = int(counts["_n"])
     ok = True
-    vals = np.array([r.l_extendedprice for r in
-                     li.select("l_extendedprice").collect()])
-    for q in QS:
-        est = sk.quantile(q)
-        true_rank = float((vals <= est).mean())
+    for i, q in enumerate(QS):
+        true_rank = counts[f"_c{i}"] / max(n, 1)
         if abs(true_rank - q) > max(0.01, 4 * q * (1 - q) / 200):
             ok = False
-    return spark.createDataFrame([(bool(ok), int(n))],
+    return spark.createDataFrame([(bool(ok), int(sk.n))],
                                  "all_within_bound boolean, n bigint")
 
 
@@ -222,34 +228,32 @@ def q_hll_distinct_users_bound(spark, sf_dir):
 
 def q_layered_daily_distinct_users(spark, sf_dir):
     """B4 layered filter keyed by epoch-day: per-day distinct users counted
-    by MEMBERSHIP PROBES of the known user universe against each day layer.
+    by DISTRIBUTED membership probes (`find`) of the user universe against
+    the day layers.
 
     Zero-FP membership (m >> n at fpp 1e-9) is exact with m linear in n;
     counting via ``estimate_n`` instead would need m ~ n^2 for the rounding
-    to be exact (estimator std ~ n/sqrt(2m)) — the wrong scaling.  Probing a
-    candidate set against time-bucketed layers is also the layered filter's
-    real windowed-dedup access pattern."""
-    from sparksketch.agg import (H2_SEED, LayeredBloomSpec, build_partials,
-                                 tree_aggregate)
+    to be exact (estimator std ~ n/sqrt(2m)) — the wrong scaling.  The probe
+    side never leaves the cluster: ``with_layer_find`` broadcasts the
+    KB-scale layered blob, each probe row gets its array of matching day
+    layers, and ``explode + groupBy(day)`` reduces to (day, count) — the
+    only rows the driver ever sees.  100TB-safe by construction."""
+    from sparksketch.agg import (LayeredBloomSpec, build_partials,
+                                 tree_aggregate, with_layer_find)
     from sparksketch.shape import Shape
-    from sparksketch.sketches import BloomFilter, sketch_from_bytes
     _utc(spark)
     ev = _tbl(spark, sf_dir, "events").withColumn(
         "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long"))
-    users = (ev.select("user_id").distinct()
-             .select(F.xxhash64("user_id").alias("h1"),
-                     F.xxhash64(F.lit(H2_SEED), "user_id").alias("h2"))
-             .toPandas())
-    shape = Shape.from_np(max(2 * len(users), 1024), 1e-9)
+    users = ev.select("user_id").distinct()
+    n_users = users.count()
+    shape = Shape.from_np(max(2 * n_users, 1024), 1e-9)
     blob = tree_aggregate(build_partials(
         ev, LayeredBloomSpec(shape, layer_col="day"), ["user_id"]))
-    sk = sketch_from_bytes(blob)
-    h1, h2 = users["h1"].to_numpy(), users["h2"].to_numpy()
-    rows = []
-    for day in sorted(sk.layers):
-        bf = BloomFilter(shape, sk.layers[day])
-        rows.append((int(day), int(bf.contains_hashes(h1, h2).sum())))
-    return spark.createDataFrame(rows, "day bigint, distinct_users bigint")
+    return (with_layer_find(users, blob, ["user_id"], out_col="days")
+            .select(F.explode("days").alias("day"))
+            .groupBy("day")
+            .agg(F.count("*").alias("distinct_users"))
+            .orderBy("day"))
 
 
 def q_setops_role_similarity(spark, sf_dir):
@@ -449,18 +453,16 @@ def q_streaming_windowed_distinct(spark, sf_dir):
     in tests/test_streaming.py."""
     import shutil
     import tempfile
-    from sparksketch.agg import H2_SEED
+    from sparksketch.agg import with_layer_find
     from sparksketch.shape import Shape
-    from sparksketch.sketches import BloomFilter, sketch_from_bytes
+    from sparksketch.sketches import (BloomFilter, LayeredBloomFilter,
+                                      sketch_from_bytes)
     from sparksketch.streaming import WindowedSketchState
     _utc(spark)
     ev = _tbl(spark, sf_dir, "events")
-    users = (ev.select("user_id").distinct()
-             .select(F.col("user_id"),
-                     F.xxhash64("user_id").alias("h1"),
-                     F.xxhash64(F.lit(H2_SEED), "user_id").alias("h2"))
-             .toPandas())
-    shape = Shape.from_np(max(2 * len(users), 1024), 1e-9)
+    users = ev.select("user_id").distinct()
+    n_users = users.count()
+    shape = Shape.from_np(max(2 * n_users, 1024), 1e-9)
     src = tempfile.mkdtemp(prefix="stream_src_")
     state = tempfile.mkdtemp(prefix="stream_state_")
     try:
@@ -481,16 +483,23 @@ def q_streaming_windowed_distinct(spark, sf_dir):
         q = (stream.writeStream.foreachBatch(wss.process_batch)
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
+        # assemble the O(windows) per-day bloom blobs into ONE layered
+        # filter keyed by epoch-day (KB-scale driver state — state rows,
+        # never data rows), then probe the user universe DISTRIBUTIVELY:
+        # find -> explode -> groupBy(day).count, same plan as the batch
+        # layered query.  The driver only ever sees (day, count).
         snap = wss.snapshot(spark).collect()
-        h1, h2 = users["h1"].to_numpy(), users["h2"].to_numpy()
-        rows = []
+        layers = {}
         for r in snap:
             bf = sketch_from_bytes(bytes(r.sketch))
             assert isinstance(bf, BloomFilter)
-            day = int(r.window_start.timestamp() // 86400)
-            rows.append((day, int(bf.contains_hashes(h1, h2).sum())))
-        return spark.createDataFrame(
-            sorted(rows), "day bigint, distinct_users bigint")
+            layers[int(r.window_start.timestamp() // 86400)] = bf.words
+        blob = LayeredBloomFilter(shape, layers).to_bytes()
+        return (with_layer_find(users, blob, ["user_id"], out_col="days")
+                .select(F.explode("days").alias("day"))
+                .groupBy("day")
+                .agg(F.count("*").alias("distinct_users"))
+                .orderBy("day"))
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)

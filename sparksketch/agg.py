@@ -280,6 +280,8 @@ def _collect_partials(partials: DataFrame) -> pd.DataFrame:
     finally:
         if old is not None:
             sess.conf.set(key, old)
+        else:
+            sess.conf.unset(key)
     return pdf.sort_values("pid")
 
 
@@ -510,6 +512,26 @@ def with_might_contain(df: DataFrame, blob: bytes,
         out_col, probe(F.xxhash64(*cols), F.xxhash64(F.lit(H2_SEED), *cols)))
 
 
+def with_layer_find(df: DataFrame, blob: bytes,
+                    cols: Sequence[str | Column],
+                    out_col: str = "layers") -> DataFrame:
+    """Adds an ``array<long>`` column of the layer keys containing each
+    row's item — the commons LayeredBloomFilter ``find`` operation as a
+    distributed probe (broadcast blob in the UDF closure, JVM hashing,
+    vectorized batch probe).  In the zero-FP regime the array is exactly
+    the set of layer keys (e.g. time buckets) where the item occurred, so
+    ``explode + groupBy(layer)`` counts per-layer distinct members without
+    any driver-side materialization."""
+
+    @F.pandas_udf("array<long>")
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        sk = _cached_sketch(blob)
+        return pd.Series(sk.find_hashes(h1.to_numpy(), h2.to_numpy()))
+
+    return df.withColumn(
+        out_col, probe(F.xxhash64(*cols), F.xxhash64(F.lit(H2_SEED), *cols)))
+
+
 def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
                    build_df: DataFrame, build_cols: Sequence[str],
                    expected_n: int | None = None,
@@ -538,8 +560,8 @@ def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
 
 
 def cms_heavy_hitters(df: DataFrame, cols: Sequence[str],
-                      min_count: int, w: int = 1 << 16, d: int = 5,
-                      num_partitions: int | None = None) -> DataFrame:
+                      min_count: int, w: int = 1 << 16,
+                      d: int = 5) -> DataFrame:
     """Heavy hitters with guaranteed recall: keys with global count >=
     ``min_count`` (SURVEY.md Table C "top-k heavy hitters = CMS estimate +
     candidate pass").
@@ -557,18 +579,26 @@ def cms_heavy_hitters(df: DataFrame, cols: Sequence[str],
     Output: DataFrame[*cols, est_count] (candidate keys with their CMS
     estimates, filtered to est >= min_count).
     """
-    P = num_partitions or df.rdd.getNumPartitions() or 1
-    local_bar = max(min_count // max(P, 1), 1)
     spec = CMSSpec(w=w, d=d)
     blob = tree_aggregate(build_partials(df, spec, cols))
     if blob is None:
         return df.select(*cols).limit(0).withColumn(
             "est_count", F.lit(0).cast("long"))
     # local candidate pass: partial-agg counts (map-side combine by
-    # Catalyst), filtered to the pigeonhole bar, then distinct keys
-    local = (df.groupBy(F.spark_partition_id().alias("_pid"), *cols)
-             .agg(F.count("*").alias("_lc"))
-             .filter(F.col("_lc") >= local_bar)
+    # Catalyst) filtered to the pigeonhole bar.  The bar's partition count
+    # P is derived from the SAME per-partition counts frame (max(_pid)+1),
+    # not from a separate rdd.getNumPartitions() job — if the candidate
+    # scan runs with more map partitions than planned (source re-split,
+    # AQE), the bar loosens with it, preserving the zero-false-negative
+    # guarantee.  The groupBy exchange is shared by both branches
+    # (ReusedExchange), so this costs no extra scan.
+    local_counts = (df.groupBy(F.spark_partition_id().alias("_pid"), *cols)
+                    .agg(F.count("*").alias("_lc")))
+    p_actual = local_counts.select(
+        (F.max("_pid") + F.lit(1)).alias("_P"))
+    local = (local_counts.crossJoin(F.broadcast(p_actual))
+             .filter(F.col("_lc") >= F.greatest(
+                 F.floor(F.lit(min_count) / F.col("_P")), F.lit(1)))
              .select(*cols).distinct())
     scored = cms_lookup(local, blob, cols, out_col="est_count")
     return scored.filter(F.col("est_count") >= min_count)

@@ -118,10 +118,16 @@ def resume(spark: SparkSession, df: DataFrame, spec: SketchSpec,
 def merged_sketch_bytes(spark: SparkSession, ckpt_dir: str,
                         run_id: str) -> bytes | None:
     """Final merge over checkpointed partials — canonical sorted-pid fold
-    (deterministic for every sketch kind), dedup-ing retries by pid."""
+    (deterministic for every sketch kind), dedup-ing retries by pid.
+
+    Blobs come to the driver through the Arrow ``toPandas`` path
+    (agg._collect_partials): the row-object ``collect()`` path re-serializes
+    each MB-scale binary per row and is ~50x slower."""
+    from .agg import _collect_partials
     path = os.path.join(ckpt_dir, f"partials_{run_id}")
-    rows = spark.read.parquet(path).select("pid", "sketch").collect()
+    pdf = _collect_partials(
+        spark.read.parquet(path).select("pid", "sketch"))
     seen: dict[int, bytes] = {}
-    for r in rows:
-        seen.setdefault(r.pid, bytes(r.sketch))
+    for pid, blob in zip(pdf["pid"], pdf["sketch"]):
+        seen.setdefault(int(pid), bytes(blob))
     return merge_blob_list(seen[p] for p in sorted(seen))

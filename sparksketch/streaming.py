@@ -80,9 +80,16 @@ def stable_dedup_stream(df: DataFrame, sshape: StableShape,
             sk.prng.row = int(rng_row)
         else:
             sk = StableBloomFilter(sshape, seed=key_seed)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Spark delivers a group's micro-batch rows as MULTIPLE unsorted
+        # Arrow chunks; sorting chunks independently would replay rows out
+        # of order whenever a key's batch exceeds one chunk (~10k rows).
+        # Materialize the iterator and sort the whole group ONCE — group
+        # state is already O(group rows per micro-batch) here, and the
+        # order-dependent stable replay requires the total order anyway.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(order_cols, kind="mergesort")
             flags = sk.insert_hashes_flagged(pdf["h1"].to_numpy(),
                                              pdf["h2"].to_numpy())
@@ -129,10 +136,57 @@ class WindowedSketchState:
         self.watermark = watermark
         self.salt = salt
         self._max_seen_ts = None
+        # crash-safe restart: the eviction horizon is persisted in the
+        # pointer file alongside the live state version, so a new process
+        # resumes with the same watermark high-mark
+        cur = self._read_pointer()
+        if cur is not None and cur.get("max_seen_ts"):
+            import datetime
+            self._max_seen_ts = datetime.datetime.fromisoformat(
+                cur["max_seen_ts"])
 
     @property
     def _keys(self) -> list[str]:
         return ["window_start", *self.group_cols]
+
+    # -- versioned state: write-new-dir + atomic pointer swap ---------------
+    # A crash at ANY point leaves either the old pointer (old state intact)
+    # or the new pointer (new state fully written): never a half-deleted
+    # live directory.  In production the pointer is an Iceberg/Delta commit.
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.state_dir, "CURRENT")
+
+    def _read_pointer(self) -> dict | None:
+        import json
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _current_state_path(self) -> str | None:
+        cur = self._read_pointer()
+        if cur is None:
+            return None
+        path = os.path.join(self.state_dir, cur["version"])
+        return path if os.path.exists(path) else None
+
+    def _commit(self, version: str) -> None:
+        import json
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version,
+                       "max_seen_ts": (self._max_seen_ts.isoformat()
+                                       if self._max_seen_ts else None)}, f)
+        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+
+    def _gc_old_versions(self, keep: str) -> None:
+        import shutil
+        for name in os.listdir(self.state_dir):
+            if name.startswith("windows_v") and name != keep:
+                shutil.rmtree(os.path.join(self.state_dir, name),
+                              ignore_errors=True)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -141,9 +195,9 @@ class WindowedSketchState:
             F.window(F.col(self.ts_col), self.window)["start"])
         parts = grouped_sketch(keyed, self._keys, self.spec, self.cols,
                                salt=self.salt)
-        path = os.path.join(self.state_dir, "windows")
-        if os.path.exists(path):
-            parts = spark.read.parquet(path).unionByName(parts)
+        live = self._current_state_path()
+        if live is not None:
+            parts = spark.read.parquet(live).unionByName(parts)
         merged = self._fold(parts)
         if self.watermark is not None:
             hi = keyed.select(F.max("window_start")).first()[0]
@@ -155,13 +209,11 @@ class WindowedSketchState:
                     F.col("window_start")
                     >= F.lit(self._max_seen_ts)
                     - F.expr(f"INTERVAL {self.watermark}"))
-        # two-step write: the merged plan lazily READS `path`, so first
-        # materialize to a scratch dir, then rewrite the state table
-        import shutil
-        tmp = path + f"_tmp{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        version = f"windows_v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, version))
+        self._commit(version)
+        self._gc_old_versions(keep=version)
 
     def _fold(self, parts: DataFrame) -> DataFrame:
         keys = self._keys
@@ -179,4 +231,8 @@ class WindowedSketchState:
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """Current merged state: one row per (window, group)."""
-        return spark.read.parquet(os.path.join(self.state_dir, "windows"))
+        live = self._current_state_path()
+        if live is None:
+            raise FileNotFoundError(
+                f"no committed window state under {self.state_dir}")
+        return spark.read.parquet(live)

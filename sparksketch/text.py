@@ -112,17 +112,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
     @F.pandas_udf("long")
     def votes(ths: pd.Series) -> pd.Series:
         flat, starts = _segment_starts(ths)
+        n = len(ths)
         if flat.size == 0:
-            return pd.Series(np.zeros(len(ths), dtype=np.int64))
-        h = flat.view(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int8)
-        sums = np.add.reduceat(2 * bits.astype(np.int32) - 1, starts, axis=0)
-        maj = (sums > 0).astype(np.uint64)
-        weights = np.left_shift(np.uint64(1),
-                                np.arange(64, dtype=np.uint64))
-        sig = (maj * weights[None, :]).sum(axis=1, dtype=np.uint64)
-        return pd.Series(sig.view(np.int64))
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.left_shift(np.uint64(1), shifts)
+        out = np.empty(n, dtype=np.int64)
+        ends = np.append(starts[1:], flat.size)
+        # chunk along document boundaries: the (tokens x 64) int8/int32
+        # temporaries are bounded to ~40 MB regardless of Arrow batch size
+        # (same scheme as minhash_signatures in dedup.py)
+        chunk = 1 << 17
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and ends[j - 1] - starts[i] < chunk:
+                j += 1
+            h = flat[starts[i]:ends[j - 1]].view(np.uint64)
+            bits = ((h[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.int8)
+            local = starts[i:j] - starts[i]
+            sums = np.add.reduceat(2 * bits.astype(np.int32) - 1,
+                                   local, axis=0)
+            maj = (sums > 0).astype(np.uint64)
+            out[i:j] = ((maj * weights[None, :])
+                        .sum(axis=1, dtype=np.uint64).view(np.int64))
+            i = j
+        return pd.Series(out)
 
     th_arr = F.transform(F.array_distinct(tokens_col(text_col)),
                          lambda t: F.xxhash64(t))
