@@ -189,6 +189,39 @@ def q_kll_grouped_qty_quantiles(spark, sf_dir):
                                  "l_returnflag string, q double, qty double")
 
 
+def q_kll_fixedk_rank_bound(spark, sf_dir):
+    """KLL in the APPROXIMATE regime: fixed k=200, so the sketch runs real
+    compaction + multi-level distributed merge — the regime a 100 TB run
+    uses (the k>=n exact-regime queries above validate interpolation
+    semantics; this one validates the error bound).
+
+    For each q, the estimate's TRUE normalized rank is computed
+    distributively (one aggregate pass of conditional sums) and must lie
+    within eps of q, with eps = 6/k — a conservative multiple of the
+    KLL single-sketch constant (~2.2/k, Karnin/Lang/Liberty FOCS 2016;
+    BASELINE.md §A) covering the distributed merge.  The query also
+    asserts the sketch genuinely compacted (>1 level), so the gate cannot
+    silently degrade to the exact regime."""
+    from sparksketch.agg import KLLSpec, sketch_dataframe
+    k = 200
+    li = _tbl(spark, sf_dir, "lineitem")
+    sk = sketch_dataframe(li, KLLSpec(k=k, col="l_extendedprice"),
+                          ["l_orderkey"], canonical=True)
+    ests = {q: float(sk.quantile(q)) for q in QS}
+    counts = li.agg(
+        F.count("*").alias("_n"),
+        *[F.sum((F.col("l_extendedprice") <= F.lit(ests[q])).cast("long"))
+          .alias(f"_c{i}") for i, q in enumerate(QS)]).first()
+    n = int(counts["_n"])
+    eps = 6.0 / k
+    ok = all(abs(counts[f"_c{i}"] / max(n, 1) - q) <= eps
+             for i, q in enumerate(QS))
+    compacted = len(sk.levels) > 1
+    return spark.createDataFrame(
+        [(bool(ok and compacted), int(sk.n))],
+        "all_within_bound boolean, n bigint")
+
+
 def q_tdigest_price_bound(spark, sf_dir):
     """t-digest quantiles within published tolerance of exact (boolean).
 
@@ -254,6 +287,52 @@ def q_layered_daily_distinct_users(spark, sf_dir):
             .groupBy("day")
             .agg(F.count("*").alias("distinct_users"))
             .orderBy("day"))
+
+
+def q_fill_layered_bursty_streams(spark, sf_dir):
+    """Fill-policy LayeredBloomFilter (commons LayerManager advance-on-
+    saturation; VERDICT round-1 gap): 4 bursty event streams
+    (stream = event_id % 4, replayed in event_id order) roll their active
+    layer whenever its estimate_n crosses target_n.
+
+    Exact-oracle checks per stream (booleans, zero-FP regime):
+    - ``found_all``: every user of the stream is found (`find`) in >= 1
+      layer — probed DISTRIBUTIVELY via with_layer_find;
+    - ``layers_ok``: every non-final layer is saturated-to-bound
+      (target <= estimate_n <= target + 2) — the advance-on-fill contract
+      itself, checked over the O(layers) collected blobs (state rows, not
+      data rows)."""
+    from sparksketch.agg import fill_layered_build, with_layer_find
+    from sparksketch.shape import Shape
+    from sparksketch.sketches import sketch_from_bytes
+    ev = _tbl(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    shape = Shape.from_np(max(4 * n_users, 1024), 1e-9)
+    target = 32
+    parts = fill_layered_build(
+        ev, shape, target, ["user_id"],
+        stream_col=F.pmod(F.col("event_id"), F.lit(4)),
+        order_cols=["event_id"], num_partitions=4).collect()
+    evs = ev.withColumn("stream", F.pmod(F.col("event_id"), F.lit(4)))
+    rows = []
+    for r in sorted(parts, key=lambda r: r.stream):
+        sk = sketch_from_bytes(bytes(r.sketch))
+        keys = sorted(sk.layers)
+        layers_ok = all(
+            target <= shape.estimate_n(
+                int(np.unpackbits(sk.layers[k].view(np.uint8)).sum()))
+            <= target + 2
+            for k in keys[:-1])
+        users_s = (evs.filter(F.col("stream") == r.stream)
+                   .select("user_id").distinct())
+        missing = (with_layer_find(users_s, bytes(r.sketch), ["user_id"],
+                                   out_col="hits")
+                   .filter(F.size("hits") == 0).count())
+        rows.append((int(r.stream), int(r.rows),
+                     bool(missing == 0), bool(layers_ok)))
+    return spark.createDataFrame(
+        rows, "stream bigint, n_rows bigint, found_all boolean, "
+              "layers_ok boolean")
 
 
 def q_setops_role_similarity(spark, sf_dir):
@@ -387,6 +466,28 @@ def q_grouped_kmv_role_distinct(spark, sf_dir):
         for r in per_role.collect()]
     return spark.createDataFrame(sorted(rows),
                                  "role string, distinct_texts bigint")
+
+
+def q_grouped_conv_distinct_texts(spark, sf_dir):
+    """HIGH-CARDINALITY grouped aggregation (one sketch per conversation)
+    via the segmented two-stage path: stage 1 builds per-(partition, conv)
+    bottom-k partials inside mapInPandas — raw rows NEVER shuffle — and
+    stage 2 shuffles only KB-scale sketch rows.  Estimates are extracted
+    executor-side (with_sketch_estimate), so blobs never reach the driver.
+    Exact regime (k >= per-conv distinct texts) => count(DISTINCT) oracle.
+    This is the plan shape that survives billions of groups at 100 TB; the
+    plan invariant (no raw-row Exchange before the partial build) is
+    asserted in tools/explain_plans.py."""
+    from sparksketch.agg import (BottomKSpec, grouped_sketch_segmented,
+                                 with_sketch_estimate)
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    per = grouped_sketch_segmented(tr, ["conv_id"], BottomKSpec(k=4096),
+                                   ["text"])
+    return (with_sketch_estimate(per, "est")
+            .select("conv_id",
+                    F.round("est").cast("long").alias("distinct_texts"))
+            .orderBy("conv_id"))
 
 
 def q_checkpoint_resume_distinct(spark, sf_dir):
@@ -578,9 +679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_event_value_quantiles": q_kll_event_value_quantiles,
         "kll_lineitem_qty_quantiles": q_kll_lineitem_qty_quantiles,
         "kll_grouped_qty_quantiles": q_kll_grouped_qty_quantiles,
+        "kll_fixedk_rank_bound": q_kll_fixedk_rank_bound,
         "tdigest_price_bound": q_tdigest_price_bound,
         "hll_distinct_users_bound": q_hll_distinct_users_bound,
         "layered_daily_distinct_users": q_layered_daily_distinct_users,
+        "fill_layered_bursty_streams": q_fill_layered_bursty_streams,
         "setops_role_similarity": q_setops_role_similarity,
         "dup_text_counts": q_dup_text_counts,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -590,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk_cosine,
         "bloom_setops_estimates": q_bloom_setops_estimates,
         "grouped_kmv_role_distinct": q_grouped_kmv_role_distinct,
+        "grouped_conv_distinct_texts": q_grouped_conv_distinct_texts,
         "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
         "stable_dedup_partitions": q_stable_dedup_partitions,
@@ -641,6 +745,10 @@ def oracle_sql() -> dict[str, str]:
             _TRANSCRIPTS_CTE
             + "SELECT role, count(DISTINCT text) AS distinct_texts FROM t "
               "GROUP BY role ORDER BY role",
+        "grouped_conv_distinct_texts":
+            _TRANSCRIPTS_CTE
+            + "SELECT conv_id, count(DISTINCT text) AS distinct_texts "
+              "FROM t GROUP BY conv_id ORDER BY conv_id",
         "checkpoint_resume_distinct":
             _TRANSCRIPTS_CTE
             + "SELECT count(DISTINCT conv_id) AS distinct_convs FROM t",
@@ -676,6 +784,8 @@ HAVING count(*) >= greatest(CAST(floor(
             f"round(quantile_cont(l_quantity, {q}), 6) AS qty "
             f"FROM lineitem GROUP BY l_returnflag"
             for q in (0.25, 0.5, 0.75)),
+        "kll_fixedk_rank_bound":
+            "SELECT true AS all_within_bound, count(*) AS n FROM lineitem",
         "tdigest_price_bound":
             "SELECT true AS all_within_bound, count(*) AS n FROM lineitem",
         "hll_distinct_users_bound":
@@ -684,6 +794,10 @@ HAVING count(*) >= greatest(CAST(floor(
         "layered_daily_distinct_users":
             "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
             "count(DISTINCT user_id) AS distinct_users FROM events "
+            "GROUP BY 1 ORDER BY 1",
+        "fill_layered_bursty_streams":
+            "SELECT event_id % 4 AS stream, count(*) AS n_rows, "
+            "true AS found_all, true AS layers_ok FROM events "
             "GROUP BY 1 ORDER BY 1",
         "streaming_windowed_distinct":
             "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "

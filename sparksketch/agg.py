@@ -478,6 +478,94 @@ def grouped_sketch(df: DataFrame, group_cols: Sequence[str],
     return stage1.groupBy(*group_cols).applyInPandas(merge_group, out_schema)
 
 
+def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
+                             spec: SketchSpec,
+                             cols: Sequence[str | Column]) -> DataFrame:
+    """Grouped sketch aggregation for HIGH-CARDINALITY groups (e.g. one
+    sketch per ``conv_id`` at billions of conversations).
+
+    ``grouped_sketch`` shuffles every raw row to its group (applyInPandas
+    has no map-side combine) — fine for roles/days, fatal at 10^9 groups x
+    10^3 rows.  This variant is the map-side combine made explicit:
+
+    - **stage 1** (``mapInPandas``, NO shuffle): each input partition
+      builds one partial sketch per group it contains, segmented inside the
+      Arrow batches — raw rows never leave their partition;
+    - **stage 2** (``groupBy(group).applyInPandas``): only the KB-scale
+      partial-sketch rows shuffle (at most partitions x groups-per-
+      partition rows), merged per group — valid because every mergeable
+      kind here is associative+commutative.
+
+    Executor memory holds O(groups-in-partition x sketch bytes) during
+    stage 1: pick compact specs for ultra-high cardinality (bottom-k with
+    small k, HLL p<=12).  If the input is already hash-partitioned by the
+    group key, stage 1 emits exactly one row per group and stage 2 merges
+    singletons.
+    """
+    group_cols = list(group_cols)
+    prepared = spec.prepare(df, cols, keep=group_cols)
+    gtypes = dict(df.select(*group_cols).dtypes)
+    out_schema = ", ".join([f"`{c}` {gtypes[c]}" for c in group_cols]
+                           + ["sketch binary", "rows long"])
+
+    def build_segmented(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sks: dict[tuple, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for key, sub in pdf.groupby(group_cols, sort=False,
+                                        dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                ent = sks.get(key)
+                if ent is None:
+                    ent = sks[key] = [spec.empty(), 0]
+                spec.update(ent[0], sub)
+                ent[1] += len(sub)
+        if sks:
+            keys = sorted(sks)  # canonical emit order
+            data = {c: [k[i] for k in keys] for i, c in enumerate(group_cols)}
+            data["sketch"] = [sks[k][0].to_bytes() for k in keys]
+            data["rows"] = [sks[k][1] for k in keys]
+            yield pd.DataFrame(data)
+
+    stage1 = prepared.mapInPandas(build_segmented, out_schema)
+
+    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = merge_blob_list(bytes(b) for b in pdf["sketch"])
+        data = {c: [key[i]] for i, c in enumerate(group_cols)}
+        data["sketch"] = [blob]
+        data["rows"] = [int(pdf["rows"].sum())]
+        return pd.DataFrame(data)
+
+    return stage1.groupBy(*group_cols).applyInPandas(merge_group, out_schema)
+
+
+def with_sketch_estimate(df: DataFrame, out_col: str = "estimate",
+                         sketch_col: str = "sketch") -> DataFrame:
+    """Adds each row's sketch estimate (distinct count for bottom-k/HLL/
+    bloom, n for KLL/t-digest) as a double — evaluated on the EXECUTORS, so
+    high-cardinality grouped results never ship sketch blobs to the driver
+    just to read one number out of each."""
+
+    @F.pandas_udf("double")
+    def est(blobs: pd.Series) -> pd.Series:
+        out = np.empty(len(blobs), dtype=np.float64)
+        for i, b in enumerate(blobs):
+            sk = sketch_from_bytes(bytes(b))
+            if hasattr(sk, "distinct_estimate"):
+                out[i] = float(sk.distinct_estimate())
+            elif hasattr(sk, "estimate"):
+                out[i] = float(sk.estimate())
+            elif hasattr(sk, "estimate_n"):
+                out[i] = float(sk.estimate_n())
+            else:
+                out[i] = float(getattr(sk, "n", float("nan")))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, est(F.col(sketch_col)))
+
+
 # --------------------------------------------------------------------------
 # Scalar sketch functions over DataFrames
 # --------------------------------------------------------------------------
@@ -616,6 +704,69 @@ def cms_lookup(df: DataFrame, blob: bytes,
 
     return df.withColumn(
         out_col, probe(F.xxhash64(*cols), F.xxhash64(F.lit(H2_SEED), *cols)))
+
+
+def fill_layered_build(df: DataFrame, shape: Shape, target_n: int,
+                       cols: Sequence[str | Column],
+                       stream_col: str | Column,
+                       order_cols: Sequence[str],
+                       num_partitions: int | None = None,
+                       max_layers: int = 0) -> DataFrame:
+    """Distributed fill-policy layered build (commons LayerManager
+    advance-on-saturation): one fill-layered filter per ``stream_col``
+    value, replayed in ``order_cols`` order — the active layer rolls
+    whenever its ``estimate_n`` crosses ``target_n``.
+
+    Order-dependent like the stable filter, so the same deterministic-
+    replay contract applies: streams are hash-co-located
+    (``repartition(stream)``), sorted within partitions by
+    (stream, *order_cols), and replayed segment-by-segment inside ONE
+    ``mapInPandas`` pass (streams are contiguous after the sort; a dict
+    carries filters across Arrow batch boundaries).  Cross-stream
+    combination goes through ``as_layered()`` into the associative
+    keyed-layer domain.
+
+    Output: DataFrame[stream, sketch, rows, n_layers] — sketch is the
+    keyed-layer (``as_layered``) serialization, layer key = advance
+    ordinal.
+    """
+    from .sketches import FillLayeredBloomFilter
+    nparts = num_partitions or df.rdd.getNumPartitions()
+    scol = (F.col(stream_col) if isinstance(stream_col, str) else stream_col)
+    arranged = (df.withColumn("_stream", scol)
+                  .repartition(nparts, "_stream")
+                  .sortWithinPartitions("_stream", *order_cols))
+    prepared = arranged.select(
+        F.col("_stream"),
+        F.xxhash64(*cols).alias("h1"),
+        F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
+    stype = dict(prepared.dtypes)["_stream"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sks: dict = {}
+        rows: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for val, sub in pdf.groupby("_stream", sort=False):
+                sk = sks.get(val)
+                if sk is None:
+                    sk = sks[val] = FillLayeredBloomFilter(
+                        shape, target_n, max_layers=max_layers)
+                    rows[val] = 0
+                sk.insert_hashes(sub["h1"].to_numpy(),
+                                 sub["h2"].to_numpy())
+                rows[val] += len(sub)
+        if sks:
+            keys = sorted(sks)
+            yield pd.DataFrame({
+                "stream": keys,
+                "sketch": [sks[k].as_layered().to_bytes() for k in keys],
+                "rows": [rows[k] for k in keys],
+                "n_layers": [sks[k].n_layers for k in keys]})
+
+    return prepared.mapInPandas(
+        fn, schema=f"stream {stype}, sketch binary, rows long, n_layers long")
 
 
 # --------------------------------------------------------------------------

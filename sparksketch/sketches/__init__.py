@@ -11,7 +11,7 @@ from .cms import CountMinSketch  # noqa: F401
 from .counting import CountingBloomFilter  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
 from .kll import KLLSketch  # noqa: F401
-from .layered import LayeredBloomFilter  # noqa: F401
+from .layered import FillLayeredBloomFilter, LayeredBloomFilter  # noqa: F401
 from .minhash import MinHashSketch  # noqa: F401
 from .stable import StableBloomFilter  # noqa: F401
 from .tdigest import TDigest  # noqa: F401

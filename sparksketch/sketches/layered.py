@@ -144,4 +144,124 @@ class LayeredBloomFilter(Sketch):
         return LayeredBloomFilter(shape, layers)
 
 
+class FillLayeredBloomFilter:
+    """Fill-policy layered Bloom filter — the commons-collections4
+    LayerManager contract the time-bucketed :class:`LayeredBloomFilter`
+    does not cover: the active layer ADVANCES when its cardinality-based
+    ``estimate_n`` crosses ``target_n`` (cf. commons ``LayerManager`` /
+    ``ADVANCE_ON_SATURATION``; dependency surface at reference
+    pom.xml:17-28), and eviction keeps at most ``max_layers`` newest
+    layers.  This is the piece a windowed-dedup user hits under BURSTY
+    traffic: layers roll with load, not wall-clock.
+
+    Order-dependent by definition (like the stable filter), so the
+    distributed semantics are a deterministic ordered replay per
+    partition (agg.fill_layered_build); cross-partition use goes through
+    :meth:`as_layered` into the associative keyed-layer domain.
+
+    The insert path is VECTORIZED despite the sequential predicate: for a
+    batch, the first-occurrence row of every newly-set bit gives the
+    cumulative cardinality as a step function of row index, so the advance
+    row (first row where the pre-insert estimate crosses ``target_n``) is
+    found with a ``searchsorted`` — one pass per layer advanced, never a
+    per-item Python loop.  Re-inserted duplicates set no new bits and so
+    never advance the layer (saturation, not traffic, rolls it)."""
+
+    def __init__(self, shape: Shape, target_n: int,
+                 max_layers: int = 0) -> None:
+        if target_n < 1:
+            raise ValueError("target_n must be >= 1")
+        self.shape = shape
+        self.target_n = target_n
+        self.max_layers = max_layers
+        self.layers: dict[int, np.ndarray] = {0: np.zeros(shape.num_words,
+                                                          dtype=np.uint64)}
+        self._active = 0
+        # smallest cardinality whose estimate_n reaches target_n
+        m, k = shape.m, shape.k
+        c = int(np.ceil(m * (1.0 - np.exp(-target_n * k / m))))
+        while c > 0 and shape.estimate_n(c - 1) >= target_n:
+            c -= 1
+        while c < m and shape.estimate_n(c) < target_n:
+            c += 1
+        self._card_bar = max(c, 1)
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.layers)
+
+    def _advance(self) -> None:
+        self._active += 1
+        self.layers[self._active] = np.zeros(self.shape.num_words,
+                                             dtype=np.uint64)
+        if self.max_layers and len(self.layers) > self.max_layers:
+            for key in sorted(self.layers)[:len(self.layers)
+                                           - self.max_layers]:
+                del self.layers[key]
+
+    def insert_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Ordered replay of a batch: items are inserted in array order;
+        the advance predicate is evaluated BEFORE each item (commons
+        extendCheck-then-merge), vectorized per layer segment."""
+        from ..bitops import popcount
+        n = len(h1)
+        if n == 0:
+            return
+        idx = edh_indices(h1, h2, self.shape.k, self.shape.m)
+        start = 0
+        while start < n:
+            w = self.layers[self._active]
+            base = popcount(w)
+            seg = idx[start:]
+            rows = np.repeat(np.arange(seg.shape[0], dtype=np.int64),
+                             seg.shape[1])
+            bits = seg.ravel()
+            # drop bits already set in the active layer
+            already = (w[(bits >> 6).astype(np.int64)]
+                       & np.left_shift(np.uint64(1),
+                                       (bits & 63).astype(np.uint64))) != 0
+            bits_new, rows_new = bits[~already], rows[~already]
+            if bits_new.size:
+                order = np.lexsort((rows_new, bits_new))
+                bs, rs = bits_new[order], rows_new[order]
+                first = np.r_[True, bs[1:] != bs[:-1]]
+                first_rows = np.sort(rs[first])
+            else:
+                first_rows = np.zeros(0, dtype=np.int64)
+            # pre-insert cardinality before row r = base + #(first_rows < r);
+            # advance before the first r where it reaches the bar
+            need = self._card_bar - base
+            if need <= 0:
+                adv_at = 0
+            elif first_rows.size >= need:
+                # card reaches the bar once row first_rows[need-1] has been
+                # inserted => the NEXT row sees the predicate true
+                adv_at = int(first_rows[need - 1]) + 1
+                if adv_at >= seg.shape[0]:
+                    adv_at = -1  # bar reached only by the segment's end
+            else:
+                adv_at = -1
+            take = seg.shape[0] if adv_at == -1 else adv_at
+            if take > 0:
+                tb = seg[:take].ravel()
+                word = (tb >> 6).astype(np.int64)
+                bit = np.left_shift(np.uint64(1), (tb & 63).astype(np.uint64))
+                np.bitwise_or.at(w, word, bit)
+            start += take
+            if start < n:
+                self._advance()
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        return self.as_layered().contains_hashes(h1, h2)
+
+    def find_hashes(self, h1: np.ndarray, h2: np.ndarray) -> list[list[int]]:
+        return self.as_layered().find_hashes(h1, h2)
+
+    def as_layered(self) -> LayeredBloomFilter:
+        """Keyed-layer view (layer key = advance ordinal) — the bridge into
+        the associative merge/serialize/probe domain."""
+        return LayeredBloomFilter(self.shape,
+                                  {k: v.copy() for k, v in self.layers.items()})
+
+
 register(KIND_LAYERED, LayeredBloomFilter._decode)

@@ -264,3 +264,88 @@ class TestSetOps:
         assert setops.cosine_similarity(a, b) == pytest.approx(2 / 4)
         assert setops.cosine_similarity(a, BloomFilter(SHAPE)) == 0.0
         assert setops.jaccard_similarity(BloomFilter(SHAPE), BloomFilter(SHAPE)) == 0.0
+
+
+class TestFillLayered:
+    """Fill-policy (advance-on-saturation) layered filter — the commons
+    LayerManager contract: the active layer rolls when its estimate_n
+    crosses target_n, checked BEFORE each insert; duplicates within the
+    active layer never advance it."""
+
+    SHAPE = Shape.from_np(1000, 1e-9)
+
+    @staticmethod
+    def _hashes(n, seed=7):
+        rng = np.random.default_rng(seed)
+        return (rng.integers(-2**63, 2**63, n, dtype=np.int64),
+                rng.integers(-2**63, 2**63, n, dtype=np.int64))
+
+    def _ref_per_item(self, target, h1, h2, max_layers=0):
+        """Per-item reference replay: predicate -> insert, one item at a
+        time (the commons extendCheck-then-merge loop made literal)."""
+        from sparksketch.sketches import FillLayeredBloomFilter
+        sk = FillLayeredBloomFilter(self.SHAPE, target,
+                                    max_layers=max_layers)
+        for a, b in zip(h1, h2):
+            sk.insert_hashes(np.array([a]), np.array([b]))
+        return sk
+
+    def test_vectorized_matches_per_item_reference(self):
+        from sparksketch.sketches import FillLayeredBloomFilter
+        h1, h2 = self._hashes(100)
+        batch = FillLayeredBloomFilter(self.SHAPE, target_n=7)
+        batch.insert_hashes(h1, h2)
+        ref = self._ref_per_item(7, h1, h2)
+        assert sorted(batch.layers) == sorted(ref.layers)
+        for k in batch.layers:
+            assert np.array_equal(batch.layers[k], ref.layers[k])
+
+    def test_batch_split_invariance(self):
+        from sparksketch.sketches import FillLayeredBloomFilter
+        h1, h2 = self._hashes(90, seed=3)
+        one = FillLayeredBloomFilter(self.SHAPE, target_n=10)
+        one.insert_hashes(h1, h2)
+        two = FillLayeredBloomFilter(self.SHAPE, target_n=10)
+        two.insert_hashes(h1[:33], h2[:33])
+        two.insert_hashes(h1[33:], h2[33:])
+        assert sorted(one.layers) == sorted(two.layers)
+        for k in one.layers:
+            assert np.array_equal(one.layers[k], two.layers[k])
+
+    def test_duplicates_do_not_advance(self):
+        from sparksketch.sketches import FillLayeredBloomFilter
+        h1, h2 = self._hashes(1)
+        sk = FillLayeredBloomFilter(self.SHAPE, target_n=3)
+        for _ in range(50):
+            sk.insert_hashes(h1, h2)
+        assert sk.n_layers == 1
+
+    def test_saturation_invariant_and_find(self):
+        from sparksketch.sketches import FillLayeredBloomFilter
+        h1, h2 = self._hashes(100, seed=11)
+        target = 8
+        sk = FillLayeredBloomFilter(self.SHAPE, target_n=target)
+        sk.insert_hashes(h1, h2)
+        assert sk.n_layers > 1  # bursty stream actually rolled layers
+        keys = sorted(sk.layers)
+        for k in keys[:-1]:  # every non-final layer is saturated-to-bound
+            est = self.SHAPE.estimate_n(
+                int(np.sum([bin(int(w)).count("1")
+                            for w in sk.layers[k]])))
+            assert target <= est <= target + 2
+        # zero false negatives across layers; find returns ordinals
+        assert sk.contains_hashes(h1, h2).all()
+        hits = sk.find_hashes(h1, h2)
+        assert all(len(h) >= 1 for h in hits)
+        # insertion order maps to non-decreasing first-hit ordinals
+        firsts = [min(h) for h in hits]
+        assert firsts == sorted(firsts)
+
+    def test_max_layers_eviction(self):
+        from sparksketch.sketches import FillLayeredBloomFilter
+        h1, h2 = self._hashes(60, seed=5)
+        sk = FillLayeredBloomFilter(self.SHAPE, target_n=5, max_layers=2)
+        sk.insert_hashes(h1, h2)
+        assert sk.n_layers == 2
+        keys = sorted(sk.layers)
+        assert keys == [sk._active - 1, sk._active]  # newest two kept

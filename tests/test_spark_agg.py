@@ -139,6 +139,34 @@ class TestGrouped:
                       events.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
         assert rows_plain == exact_rows
 
+    def test_segmented_equals_plain_grouped(self, events):
+        """The no-raw-shuffle segmented path must produce byte-identical
+        per-group sketches to the shuffle-based path (commutative merge)."""
+        from sparksketch.agg import grouped_sketch_segmented
+        spec = BloomSpec(Shape.from_np(10_000, 1e-6))
+        plain = {r.event_type: (bytes(r.sketch), r.rows) for r in
+                 grouped_sketch(events, ["event_type"], spec,
+                                ["user_id"]).collect()}
+        seg = {r.event_type: (bytes(r.sketch), r.rows) for r in
+               grouped_sketch_segmented(events, ["event_type"], spec,
+                                        ["user_id"]).collect()}
+        assert plain == seg
+
+    def test_segmented_high_cardinality_exact(self, events):
+        """One bottom-k sketch per user_id (high-cardinality group): exact
+        regime => per-group distinct estimates equal count(DISTINCT)."""
+        from sparksketch.agg import (BottomKSpec, grouped_sketch_segmented,
+                                     with_sketch_estimate)
+        per = grouped_sketch_segmented(events, ["user_id"],
+                                       BottomKSpec(k=1024), ["event_type"])
+        got = {r.user_id: int(round(r.est)) for r in
+               with_sketch_estimate(per, "est").collect()}
+        exact = {r.user_id: r.d for r in
+                 events.groupBy("user_id")
+                       .agg(F.countDistinct("event_type").alias("d"))
+                       .collect()}
+        assert got == exact
+
 
 class TestSemiJoin:
     def test_bloom_semijoin_matches_exact(self, spark, sf_dir):

@@ -104,8 +104,29 @@ def main():
     print(p4)
     ok &= check("multi-sketch: one scan, one Arrow crossing", p4,
                 want=["MapInPandas"], forbid=["Exchange", "Union"])
-    assert p4.count("Scan parquet") == 1, "multi-sketch must scan ONCE"
+    # one scan NODE = one "(n) Scan parquet" detail header
+    assert p4.count(") Scan parquet") == 1, "multi-sketch must scan ONCE"
     print("PASS  multi-sketch scans parquet exactly once")
+
+    # 5. segmented grouped build (high-cardinality groups): raw rows never
+    # shuffle — the ONLY Exchange in the plan is AFTER the mapInPandas
+    # partial build, i.e. it moves KB-scale sketch rows, not data rows
+    from sparksketch.agg import BottomKSpec, grouped_sketch_segmented
+    p5 = plan_of(grouped_sketch_segmented(
+        orders, ["o_custkey"], BottomKSpec(k=64), ["o_orderkey"]))
+    print(p5)
+    ok &= check("segmented grouped build: single sketch-row exchange", p5,
+                want=["MapInPandas", "FlatMapGroupsInPandas"], forbid=[])
+    # the tree prints top-down, so compare plan NODE NUMBERS (dataflow
+    # order: (1) scan ... (n) sink): the one Exchange must sit after the
+    # MapInPandas partial build, i.e. it moves sketch rows only
+    import re
+    ex_ids = [int(m) for m in re.findall(r"\bExchange \((\d+)\)", p5)]
+    map_ids = [int(m) for m in re.findall(r"\bMapInPandas \((\d+)\)", p5)]
+    assert len(ex_ids) == 1, f"expected exactly one Exchange, got {ex_ids}"
+    assert map_ids and map_ids[0] < ex_ids[0], \
+        "raw rows must not shuffle before the segmented partial build"
+    print("PASS  segmented grouped build shuffles only sketch rows")
 
     spark.stop()
     print("\nALL PLAN CHECKS PASSED" if ok else "\nPLAN CHECKS FAILED")
