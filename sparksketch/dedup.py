@@ -143,10 +143,30 @@ def signature_jaccard(sig_df: DataFrame, pairs: DataFrame,
 def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         shingle_n: int = 1, threshold: float = 0.0,
                         pairs: DataFrame | None = None) -> DataFrame:
-    """Exact token/shingle-set jaccard, via an inverted-index self-join.
+    """Exact token/shingle-set jaccard.
 
-    With ``pairs`` given, only those candidates are verified (the scale
-    path after LSH); otherwise all co-occurring pairs are scored."""
+    With ``pairs`` given (the scale path: chain LSH candidates in), ONLY
+    those pairs are scored — each candidate row joins to the two docs'
+    distinct shingle-hash arrays and the intersection is a JVM
+    ``array_intersect`` per pair, so the cost is O(candidates x doc size)
+    with no all-pairs join anywhere.  Without ``pairs`` it falls back to
+    the inverted-index self-join that scores every co-occurring pair —
+    exact but quadratic in co-occurrence; do not use it unbounded at
+    scale."""
+    gram_hashes = F.transform(gram_array(text_col, shingle_n)
+                              if shingle_n > 1
+                              else F.array_distinct(tokens_col(text_col)),
+                              lambda g: F.xxhash64(g))
+    if pairs is not None:
+        arrs = df.select(F.col(id_col), gram_hashes.alias("_g"))
+        a = arrs.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
+        b = arrs.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
+        inter = F.size(F.array_intersect("_ga", "_gb"))
+        ja = F.round(inter / (F.size("_ga") + F.size("_gb") - inter), 6)
+        return (pairs.join(a, "id_a").join(b, "id_b")
+                .withColumn("jaccard", ja)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     sh = (shingles(df, id_col, text_col, shingle_n) if shingle_n > 1
           else df.select(F.col(id_col),
                          F.explode(F.array_distinct(tokens_col(text_col))).alias("g"))
@@ -157,8 +177,6 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     inter = (a.join(b, ["sh"])
              .filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
-    if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "inner")
     out = (inter
            .join(sizes.select(F.col(id_col).alias("id_a"),
                               F.col("sz").alias("sz_a")), "id_a")
@@ -266,18 +284,16 @@ def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
     Sign-LSH: bucket = sign bits of dot(v, r_i) for n_planes deterministic
     pseudo-random planes; near-identical vectors collide w.h.p.  The exact
     cosine is then computed only for bucket-colliding pairs."""
+    from .similarity import _plane_dots, _sign_code
     rng = np.random.default_rng(seed)
     dim = len(emb_df.select(vec_col).first()[0])
     planes = rng.standard_normal((n_planes, dim))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    bucket = None
-    for i in range(n_planes):
-        arr = F.array(*[F.lit(float(planes[i, j])) for j in range(dim)])
-        dot = F.aggregate(F.zip_with(v, arr, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    # plane dots: JVM literals at low dim, ONE pandas matmul UDF above
+    # similarity.HIGH_DIM (per-dimension literal expressions at dim 768+
+    # bloat the plan past what codegen tolerates)
+    bucket = _sign_code(_plane_dots(v, planes), n_planes)
     base = emb_df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"),
                          bucket.alias("bucket"))
     a, b = base.alias("a"), base.alias("b")

@@ -2,26 +2,79 @@
 (``array<float>``): brute-force cosine top-k baseline + LSH-bucketed and
 IVF-style scale paths.
 
-Dot products are JVM expressions (``zip_with`` + ``aggregate``) so the scan
-stays in whole-stage codegen; no Arrow crossing for the baseline.  The scale
-paths cut the candidate set before scoring: at 100 TB the full scan is the
-bottleneck, so bucket pruning (LSH) / centroid pruning (IVF) bound the
-scored fraction."""
+Dot products against constant vectors/matrices have two physical paths,
+picked by dimensionality:
+
+- ``dim <= HIGH_DIM`` (64): JVM expressions (``zip_with`` + ``aggregate``
+  against a literal array) — the scan stays in whole-stage codegen, no
+  Arrow crossing.
+- ``dim > HIGH_DIM``: ONE Arrow-batched pandas UDF computing the whole
+  (batch x dim) @ (dim x r) matrix product — per-dimension literal
+  expressions at dim 768+ would bloat the plan (thousands of expression
+  nodes per dot) and defeat codegen, while a single BLAS matmul per batch
+  is both smaller and faster.
+
+The scale paths cut the candidate set before scoring: at 100 TB the full
+scan is the bottleneck, so bucket pruning (LSH) / centroid pruning (IVF)
+bound the scored fraction.
+"""
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+HIGH_DIM = 64  # max dim for the per-dimension-literal JVM path
 
 
 def _as_double(vec_col: str):
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def _dots_matrix_udf(vec, mat: np.ndarray) -> Column:
+    """array<double> of dot(v, mat[i]) for all rows i — one pandas-UDF
+    matmul per Arrow batch (the high-dim path)."""
+    M = np.ascontiguousarray(mat, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def dots(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(list(X @ M.T))
+
+    return dots(vec)
+
+
 def _dot_with_literal(vec, q: np.ndarray):
-    arr = F.array(*[F.lit(float(x)) for x in q])
-    return F.aggregate(F.zip_with(vec, arr, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+    """dot(v, q) for a constant q: JVM literal zip_with below HIGH_DIM,
+    pandas matmul above."""
+    q = np.asarray(q, dtype=np.float64)
+    if q.size <= HIGH_DIM:
+        arr = F.array(*[F.lit(float(x)) for x in q])
+        return F.aggregate(F.zip_with(vec, arr, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+    return _dots_matrix_udf(vec, q[None, :])[0]
+
+
+def _plane_dots(vec, planes: np.ndarray) -> Column:
+    """array<double> of dots against each hyperplane — JVM per-plane
+    literals at low dim, one matmul UDF at high dim."""
+    if planes.shape[1] <= HIGH_DIM:
+        return F.array(*[_dot_with_literal(vec, planes[i])
+                         for i in range(planes.shape[0])])
+    return _dots_matrix_udf(vec, planes)
+
+
+def _sign_code(dots_arr: Column, n_planes: int) -> Column:
+    """Fold an array of plane dots into the integer sign-LSH code (a few
+    JVM expressions over the array — O(n_planes), dim-independent)."""
+    code = None
+    for i in range(n_planes):
+        bit = F.when(dots_arr[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return code
 
 
 def cosine_topk(emb_df: DataFrame, query: np.ndarray, k: int = 10,
@@ -55,11 +108,7 @@ def signlsh_topk(emb_df: DataFrame, query: np.ndarray, k: int = 10,
     dim = q.size
     planes = rng.standard_normal((n_planes, dim))
     v = _as_double(vec_col)
-    code = None
-    for i in range(n_planes):
-        dot = _dot_with_literal(v, planes[i])
-        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        code = bit if code is None else code + bit
+    code = _sign_code(_plane_dots(v, planes), n_planes)
     qcode = int(sum((1 << i) for i in range(n_planes)
                     if float(planes[i] @ q) >= 0))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -76,21 +125,26 @@ def signlsh_topk(emb_df: DataFrame, query: np.ndarray, k: int = 10,
 def ivf_assign(emb_df: DataFrame, n_centroids: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed: int = 42, sample_n: int = 256) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantizer: centroids from a deterministic sample (one
-    k-means-- style averaging pass), then assign each vector to its nearest
-    centroid — assignment is a JVM expression argmax.  Returns (assigned_df
-    with ``_cell`` column, centroids)."""
+    """IVF coarse quantizer: centroids from a DETERMINISTIC sample (lowest
+    ``sample_n`` ids — ``orderBy`` before ``limit``, so the sample does not
+    depend on physical plan/partition order), then assign each vector to
+    its nearest centroid.  Assignment is an argmax over the centroid-dot
+    array (JVM literals at low dim, one matmul UDF at high dim).  Returns
+    (assigned_df with ``_cell`` column, centroids)."""
     sample = np.array(
-        [r[0] for r in emb_df.select(_as_double(vec_col)).limit(sample_n).collect()])
+        [r[0] for r in emb_df.select(_as_double(vec_col).alias("_v"),
+                                     F.col(id_col))
+         .orderBy(id_col).limit(sample_n).select("_v").collect()])
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
                      replace=False)
     cents = sample[idx]
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-12)
     v = _as_double(vec_col)
-    scores = [
-        F.struct(_dot_with_literal(v, c / max(np.linalg.norm(c), 1e-12))
-                 .alias("score"), F.lit(i).alias("cell"))
-        for i, c in enumerate(cents)]
+    dots_arr = _plane_dots(v, cn)
+    scores = [F.struct(dots_arr[i].alias("score"), F.lit(i).alias("cell"))
+              for i in range(len(cents))]
     best = F.array_max(F.array(*scores))
     return emb_df.withColumn("_cell", best["cell"]), cents
 

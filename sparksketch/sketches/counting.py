@@ -28,16 +28,32 @@ class CountingBloomFilter(Sketch):
         self.cells = cells
         self.valid = valid
 
-    def _unique_idx_counts(self, h1: np.ndarray, h2: np.ndarray):
-        """Per-item *distinct* probe cells (commons `uniqueIndices` semantics:
-        an item hitting the same cell twice counts once), then aggregate the
-        whole batch into (cells, counts)."""
-        idx = edh_indices(h1, h2, self.shape.k, self.shape.m)
-        # row-wise dedup: sort each row, mark first occurrences
+    def _matrix_counts(self, idx: np.ndarray) -> np.ndarray:
+        """Aggregate an (items x k) index matrix into per-cell counts with
+        per-item dedup (commons `Hasher.uniqueIndices` semantics: an item
+        hitting the same cell twice counts ONCE — duplicate indices from
+        EDH self-collisions or an ArrayHasher must not double-increment;
+        reference usage StableBloomFilter.java:111-114, duplicate-bearing
+        hashers in StableBloomFilterTest2.java:208-269)."""
         srt = np.sort(idx, axis=1)
         first = np.ones_like(srt, dtype=bool)
         first[:, 1:] = srt[:, 1:] != srt[:, :-1]
         flat = srt[first]
+        return np.bincount(flat, minlength=self.shape.m).astype(np.int64)
+
+    def _unique_idx_counts(self, h1: np.ndarray, h2: np.ndarray):
+        return self._matrix_counts(
+            edh_indices(h1, h2, self.shape.k, self.shape.m))
+
+    def _rows_counts(self, rows) -> np.ndarray:
+        """Per-cell counts for a sequence of per-item index arrays
+        (variable length, duplicates allowed — the ArrayHasher form)."""
+        if not len(rows):
+            return np.zeros(self.shape.m, dtype=np.int64)
+        flat = np.concatenate([np.unique(np.asarray(r, dtype=np.int64))
+                               for r in rows])
+        if flat.size and (flat.min() < 0 or flat.max() >= self.shape.m):
+            raise ValueError("index out of range")
         return np.bincount(flat, minlength=self.shape.m).astype(np.int64)
 
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
@@ -49,6 +65,18 @@ class CountingBloomFilter(Sketch):
         if len(h1) == 0:
             return
         self.cells -= self._unique_idx_counts(h1, h2)
+        if (self.cells < 0).any():
+            self.valid = False
+
+    def add_index_rows(self, rows) -> None:
+        """commons ``merge(Hasher)``/``add`` with explicit per-item index
+        arrays (dups allowed, deduped per item)."""
+        self.cells += self._rows_counts(rows)
+
+    def subtract_index_rows(self, rows) -> None:
+        """commons ``remove(Hasher)``/``subtract`` — underflow trips the
+        validity flag, matching the commons contract."""
+        self.cells -= self._rows_counts(rows)
         if (self.cells < 0).any():
             self.valid = False
 

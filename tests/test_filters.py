@@ -349,3 +349,70 @@ class TestFillLayered:
         assert sk.n_layers == 2
         keys = sorted(sk.layers)
         assert keys == [sk._active - 1, sk._active]  # newest two kept
+
+
+class TestCountingUniqueIndices:
+    """Golden pin of commons `Hasher.uniqueIndices` semantics for counting
+    cells: duplicate indices WITHIN one item increment a cell once; across
+    items they accumulate.  Mirrors the reference's duplicate-bearing
+    hasher tests (ArrayHasher, StableBloomFilterTest2.java:88-91, 208-269)
+    applied to the CountingBloomFilter contract."""
+
+    def test_array_hasher_duplicates_count_once(self):
+        from sparksketch.hashing import array_indices
+        cbf = CountingBloomFilter(SHAPE)
+        item = array_indices([5, 3, 5, 160], SHAPE.m)  # dup index 5
+        cbf.add_index_rows([item])
+        assert cbf.cells[5] == 1 and cbf.cells[3] == 1 and cbf.cells[160] == 1
+        assert cbf.cardinality() == 3
+        cbf.add_index_rows([item])  # same item again: cells accumulate
+        assert cbf.cells[5] == 2
+        cbf.subtract_index_rows([item])
+        assert cbf.cells[5] == 1 and cbf.valid
+        cbf.subtract_index_rows([item])
+        assert cbf.cardinality() == 0 and cbf.valid
+        cbf.subtract_index_rows([item])  # underflow -> invalid
+        assert not cbf.valid
+
+    def test_randomized_add_subtract_roundtrip(self):
+        # 5 random duplicate-bearing index arrays (the reference's
+        # generateIntArray loops), add all then subtract all -> zero cells
+        rng = np.random.default_rng(9)
+        items = [rng.integers(0, SHAPE.m, size=SHAPE.k)  # dups likely
+                 for _ in range(5)]
+        cbf = CountingBloomFilter(SHAPE)
+        cbf.add_index_rows(items)
+        # nonzero cells == union of per-item unique indices
+        expect = np.zeros(SHAPE.m, dtype=np.int64)
+        for it in items:
+            expect[np.unique(it)] += 1
+        assert np.array_equal(cbf.cells, expect)
+        cbf.subtract_index_rows(items)
+        assert cbf.cardinality() == 0 and cbf.valid
+
+    def test_edh_self_collision_dedup_matches_reference(self):
+        """The EDH hash path must apply the same per-item dedup: with m
+        tiny (k=7 into m=10) every row self-collides, and cell counts must
+        equal the per-row-unique reference, never k per item."""
+        from sparksketch.hashing import edh_indices
+        shape = Shape.from_km(7, 10)
+        cbf = CountingBloomFilter(shape)
+        rng = np.random.default_rng(3)
+        h1 = rng.integers(-2**63, 2**63, 50, dtype=np.int64)
+        h2 = rng.integers(-2**63, 2**63, 50, dtype=np.int64)
+        cbf.add_hashes(h1, h2)
+        idx = edh_indices(h1, h2, shape.k, shape.m)
+        expect = np.zeros(shape.m, dtype=np.int64)
+        for row in idx:
+            expect[np.unique(row)] += 1
+        assert np.array_equal(cbf.cells, expect)
+        assert cbf.cells.max() < 50 * shape.k  # dedup actually happened
+        cbf.subtract_hashes(h1, h2)
+        assert cbf.cardinality() == 0 and cbf.valid
+
+    def test_out_of_range_rejected(self):
+        cbf = CountingBloomFilter(SHAPE)
+        with pytest.raises(ValueError):
+            cbf.add_index_rows([np.array([SHAPE.m])])
+        with pytest.raises(ValueError):
+            cbf.add_index_rows([np.array([-1])])

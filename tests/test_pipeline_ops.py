@@ -149,6 +149,54 @@ class TestDedupAccuracy:
         assert est[(0, 2)] == 1.0 and exact[(0, 2)] == 1.0
         assert abs(est[(0, 1)] - exact[(0, 1)]) <= 3 / np.sqrt(256)
 
+    def test_lsh_chained_exact_verify_full_recall(self, spark, sf_dir):
+        """The scale path (LSH candidates -> array-intersect exact verify)
+        must return EXACTLY the pairs the unbounded inverted-index join
+        returns at the 0.5 threshold on the driver corpus."""
+        from sparksketch.dedup import (exact_jaccard_pairs,
+                                       lsh_candidate_pairs,
+                                       minhash_signatures)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        full = set(map(tuple, exact_jaccard_pairs(
+            docs, "doc_id", shingle_n=3, threshold=0.5).collect()))
+        sigs = minhash_signatures(docs, "doc_id", n_perm=32, shingle_n=3)
+        cands = lsh_candidate_pairs(sigs, "doc_id", bands=16,
+                                    rows_per_band=2)
+        chained = set(map(tuple, exact_jaccard_pairs(
+            docs, "doc_id", shingle_n=3, threshold=0.5,
+            pairs=cands).collect()))
+        assert full and chained == full
+
+    def test_high_dim_pandas_path_matches_numpy(self, spark):
+        """dim 512 > similarity.HIGH_DIM routes constant-vector dots
+        through the pandas matmul UDF; top-k must equal the NumPy
+        brute-force answer exactly, and sign-LSH bucketing must still
+        return planted duplicates."""
+        from sparksketch.dedup import embedding_near_dups
+        from sparksketch.similarity import HIGH_DIM, cosine_topk
+        dim = 512
+        assert dim > HIGH_DIM
+        rng = np.random.default_rng(12)
+        X = rng.standard_normal((300, dim)).astype(np.float32)
+        rows = [(i, X[i].tolist()) for i in range(300)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        q = X[0].astype(np.float64)
+        got = [r.vec_id for r in cosine_topk(emb, q, k=10,
+                                             exclude_id=0).collect()]
+        sims = (X.astype(np.float64) @ q) / (
+            np.linalg.norm(X.astype(np.float64), axis=1) * np.linalg.norm(q))
+        order = [i for i in np.argsort(-np.round(sims, 5), kind="stable")
+                 if i != 0][:10]
+        assert got == [int(i) for i in order]
+        # planted scaled copies (cosine 1.0) must come back as near-dups
+        planted = [(1_000_000 + i, (X[i] * 1.5).tolist()) for i in range(5)]
+        emb2 = emb.unionByName(spark.createDataFrame(
+            planted, "vec_id bigint, embedding array<float>"))
+        dups = {(r.id_a, r.id_b) for r in
+                embedding_near_dups(emb2, threshold=0.99).collect()}
+        for i in range(5):
+            assert (i, 1_000_000 + i) in dups
+
     def test_winnowing_shared_run_guarantee(self, spark):
         from sparksketch.dedup import (fingerprint_overlap_pairs,
                                        winnowed_fingerprints)
