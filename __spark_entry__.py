@@ -271,13 +271,17 @@ def q_layered_daily_distinct_users(spark, sf_dir):
     KB-scale layered blob, each probe row gets its array of matching day
     layers, and ``explode + groupBy(day)`` reduces to (day, count) — the
     only rows the driver ever sees.  100TB-safe by construction."""
+    from pyspark import StorageLevel
     from sparksketch.agg import (LayeredBloomSpec, build_partials,
                                  tree_aggregate, with_layer_find)
     from sparksketch.shape import Shape
     _utc(spark)
     ev = _tbl(spark, sf_dir, "events").withColumn(
         "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long"))
-    users = ev.select("user_id").distinct()
+    # the user universe feeds BOTH the shape sizing count and the probe —
+    # persist so the distinct shuffle runs once
+    users = (ev.select("user_id").distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
     n_users = users.count()
     shape = Shape.from_np(max(2 * n_users, 1024), 1e-9)
     blob = tree_aggregate(build_partials(
@@ -382,6 +386,18 @@ def q_token_count_documents(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return (with_token_count(docs)
             .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens")))
+
+
+def q_bpe_token_count_documents(spark, sf_dir):
+    """BPE-ish regex token counting (the LLM-budget unit; whitespace
+    counting is q_token_count_documents).  Pure JVM regexp_extract_all;
+    the oracle runs the SAME pattern through DuckDB's RE2 — both engines
+    use leftmost-first alternation, verified identical."""
+    from sparksketch.text import with_bpe_token_count
+    docs = _tbl(spark, sf_dir, "documents")
+    return (with_bpe_token_count(docs)
+            .select("doc_id",
+                    F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")))
 
 
 def q_quality_features_documents(spark, sf_dir):
@@ -697,15 +713,18 @@ def q_simhash_near_dups(spark, sf_dir):
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding cosine near-dup via sign-LSH bucket join + exact verify.
     The sf embeddings are near-orthogonal random vectors, so 5 duplicates
-    are PLANTED deterministically (scaled copies — cosine exactly 1.0) and
-    must come back; anything else returned passed the >=0.8 exact check."""
+    are PLANTED deterministically (scaled copies — cosine exactly 1.0 after
+    round(6)) and must come back; near-orthogonal non-planted pairs cannot
+    pass the 0.8 exact check, so the result is EXACTLY the planted pairs —
+    value-checked against a literal SQL oracle."""
     from sparksketch.dedup import embedding_near_dups
     emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = (emb.filter(F.col("vec_id") < 5)
                .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
                        F.transform("embedding",
                                    lambda x: x * F.lit(1.5)).alias("embedding")))
-    return embedding_near_dups(emb.unionByName(planted), threshold=0.8)
+    return (embedding_near_dups(emb.unionByName(planted), threshold=0.8)
+            .orderBy("id_a"))
 
 
 def q_lang_id_documents(spark, sf_dir):
@@ -744,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_text_counts": q_dup_text_counts,
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_count_documents": q_token_count_documents,
+        "bpe_token_count_documents": q_bpe_token_count_documents,
         "quality_features_documents": q_quality_features_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -893,6 +913,11 @@ JOIN sz sb ON sb.role = p.role_b
         "token_count_documents":
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
             "AS n_tokens FROM documents",
+        "bpe_token_count_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+            + __import__("sparksketch.text", fromlist=["BPE_SPLIT_PATTERN"])
+            .BPE_SPLIT_PATTERN.replace("'", "''")
+            + "')) AS BIGINT) AS n_bpe_tokens FROM documents"),
         "quality_features_documents": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -916,6 +941,26 @@ SELECT doc_a, doc_b,
        round(i * 1.0 / (sa.c + sb.c - i), 6) AS jaccard
 FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.c + sb.c - i) >= 0.5
+""",
+        "embedding_near_dups":
+            "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, "
+            "1.0 AS cosine FROM embeddings WHERE vec_id < 5 ORDER BY 1",
+        "lang_id_documents": """
+WITH toks AS (SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS w
+              FROM documents),
+s AS (SELECT doc_id,
+    len(list_intersect(w, ['the','and','of','to','a','in','is'])) AS en,
+    len(list_intersect(w, ['der','die','und','das','ist','nicht'])) AS de,
+    len(list_intersect(w, ['le','la','et','les','des','est'])) AS fr,
+    len(list_intersect(w, ['el','la','los','que','es','una'])) AS es
+    FROM toks)
+SELECT lang_pred, count(*) AS cnt FROM (
+  SELECT CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+  FROM s) GROUP BY 1
 """,
         "ann_topk_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

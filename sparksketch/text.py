@@ -37,6 +37,26 @@ def with_token_count(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.size(tokens_col(text_col)))
 
 
+# BPE-style pre-tokenizer pattern (GPT-2 family, simplified to the
+# lookahead-free subset both java.util.regex and RE2 support, so the Spark
+# expression and the DuckDB oracle tokenize identically): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# residual whitespace.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text",
+                         out_col: str = "n_bpe_tokens") -> DataFrame:
+    """Token count under a BPE-ish pre-tokenizer regex — the unit LLM
+    training pipelines budget by (a whitespace count undercounts
+    punctuation-heavy or contraction-heavy text).  Pure JVM
+    ``regexp_extract_all``: codegen'd, no UDF, scales with the scan."""
+    return df.withColumn(
+        out_col,
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(BPE_SPLIT_PATTERN), F.lit(0))))
+
+
 def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features — all
     whole-stage-codegen JVM expressions; feeds a downstream quality filter."""

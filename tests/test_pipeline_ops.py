@@ -167,6 +167,24 @@ class TestDedupAccuracy:
             pairs=cands).collect()))
         assert full and chained == full
 
+    def test_bpe_token_count_cross_engine(self, spark):
+        """The BPE-ish tokenizer pattern must tokenize identically in
+        Spark (java.util.regex) and DuckDB (RE2) — both leftmost-first —
+        on contraction/digit/punct/unicode edge cases, or the driver
+        oracle would silently depend on engine quirks."""
+        import duckdb
+        from sparksketch.text import BPE_SPLIT_PATTERN, with_bpe_token_count
+        texts = ["I'll say it's done, won't you?  123 abc-def...",
+                 "hello world", "a1b2 c3", "  spaces   and\ttabs ",
+                 "naïve café £5.50", ""]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = {r.text: r.n_bpe_tokens
+               for r in with_bpe_token_count(df).collect()}
+        for t in texts:
+            n = duckdb.sql("SELECT len(regexp_extract_all(?, ?))",
+                           params=[t, BPE_SPLIT_PATTERN]).fetchone()[0]
+            assert got[t] == n, (t, got[t], n)
+
     def test_high_dim_pandas_path_matches_numpy(self, spark):
         """dim 512 > similarity.HIGH_DIM routes constant-vector dots
         through the pandas matmul UDF; top-k must equal the NumPy

@@ -65,6 +65,34 @@ class TestWindowedSketchState:
         # day-1 window is 8 days behind the horizon -> evicted from state
         assert days == [9]
 
+    def test_restart_restores_state_and_watermark(self, spark, tmp_path):
+        """A new process over the same state dir resumes from the committed
+        pointer: state rows survive, and the persisted watermark high-mark
+        still evicts windows older than the horizon."""
+        from sparksketch.agg import HLLSpec
+        from sparksketch.streaming import WindowedSketchState
+        import datetime as dt
+
+        d1 = dt.datetime(2026, 1, 1, 12)
+        d9 = dt.datetime(2026, 1, 9, 12)
+        wss = WindowedSketchState(HLLSpec(p=12), ["user_id"],
+                                  str(tmp_path), window="1 day",
+                                  watermark="2 days")
+        wss.process_batch(_mk_events(spark, [(u, d9, "a")
+                                             for u in range(10)]), 0)
+        # "crash": a fresh instance over the same directory
+        wss2 = WindowedSketchState(HLLSpec(p=12), ["user_id"],
+                                   str(tmp_path), window="1 day",
+                                   watermark="2 days")
+        assert wss2._max_seen_ts is not None
+        assert wss2.snapshot(spark).count() == 1
+        # a late day-1 batch is behind the restored horizon -> evicted
+        wss2.process_batch(_mk_events(spark, [(u, d1, "b")
+                                              for u in range(10)]), 1)
+        days = sorted(r.window_start.day
+                      for r in wss2.snapshot(spark).collect())
+        assert days == [9]
+
     def test_rows_accumulate(self, spark, tmp_path):
         from sparksketch.agg import BloomSpec
         from sparksketch.shape import Shape
@@ -130,3 +158,40 @@ class TestStableDedupStream:
         rows2 = self._run_stream(spark, src, "dedup_run2")
         assert [(r.conv_id, r.turn_idx, r.is_dup) for r in rows2] \
             == [(r.conv_id, r.turn_idx, r.is_dup) for r in rows]
+
+    def test_group_spanning_multiple_arrow_chunks(self, spark, tmp_path):
+        """A single key whose micro-batch exceeds one Arrow chunk: Spark
+        delivers the group as MULTIPLE unsorted chunks, so the operator
+        must materialize and sort the whole group before replaying —
+        per-chunk sorting would replay rows out of turn order and
+        misflag.  400 shuffled rows at maxRecordsPerBatch=50 => 8 chunks;
+        text t-{i//2} makes every odd turn a duplicate of the even turn
+        before it, and ONLY those may be flagged."""
+        import numpy as np
+        src = str(tmp_path / "src_chunks")
+        os.makedirs(src)
+        rng = np.random.default_rng(0)
+        order = rng.permutation(400)
+        rows = [("conv-c", int(i), f"t-{i // 2}") for i in order]
+        schema = "conv_id string, turn_idx int, text string"
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(src + "/f0")
+        import glob
+        import shutil
+        part = glob.glob(f"{src}/f0/part-*.parquet")[0]
+        shutil.move(part, f"{src}/000.parquet")
+        shutil.rmtree(f"{src}/f0")
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "50")
+        try:
+            got = self._run_stream(spark, src, "dedup_chunks")
+        finally:
+            if old is not None:
+                spark.conf.set(key, old)
+            else:
+                spark.conf.unset(key)
+        flags = {r.turn_idx: r.is_dup for r in got}
+        assert len(flags) == 400
+        assert not any(flags[i] for i in range(0, 400, 2))
+        assert all(flags[i] for i in range(1, 400, 2))

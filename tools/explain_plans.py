@@ -128,6 +128,30 @@ def main():
         "raw rows must not shuffle before the segmented partial build"
     print("PASS  segmented grouped build shuffles only sketch rows")
 
+    # 6. layered `find` probe: the probe UDF runs map-side over the
+    # broadcast blob — the only Exchanges in the plan are the inherent
+    # ones (distinct build of the probe set, final tiny groupBy of
+    # (layer, count) rows), never a shuffle of probe rows to reach the
+    # sketch
+    from sparksketch.agg import (LayeredBloomSpec, tree_aggregate,
+                                 with_layer_find)
+    ev = orders.withColumn("day", (F.col("o_orderkey") % 7).cast("long"))
+    lblob = tree_aggregate(build_partials(
+        ev, LayeredBloomSpec(Shape.from_np(10_000, 1e-9), layer_col="day"),
+        ["o_custkey"]))
+    probe_plan = plan_of(
+        with_layer_find(orders.select("o_custkey").distinct(), lblob,
+                        ["o_custkey"], out_col="days")
+        .select(F.explode("days").alias("day"))
+        .groupBy("day").agg(F.count("*").alias("c")))
+    print(probe_plan)
+    ok &= check("layered find probe: map-side eval, inherent shuffles only",
+                probe_plan, want=["ArrowEvalPython"], forbid=[])
+    n_probe_ex = len(re.findall(r"\bExchange \((\d+)\)", probe_plan))
+    assert n_probe_ex <= 2, \
+        f"probe plan must only shuffle for distinct + final agg, got {n_probe_ex}"
+    print("PASS  layered find probe adds no probe-side shuffle")
+
     spark.stop()
     print("\nALL PLAN CHECKS PASSED" if ok else "\nPLAN CHECKS FAILED")
     sys.exit(0 if ok else 1)
