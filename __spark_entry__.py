@@ -564,6 +564,34 @@ def q_ann_ivf_topk(spark, sf_dir):
                      n_centroids=16, n_probe=4)
             .select("vec_id", "sim"))
 
+def q_ann_ivf_planted_recall(spark, sf_dir):
+    """Value-checked IVF contract (the rows-only ann_ivf_topk shows the
+    raw operator): 5 scaled copies of the query vector are planted —
+    cosine exactly 1.0, so they quantize to the query's own best cell,
+    which n_probe >= 1 always probes.  IVF top-10 MUST return all 5
+    (100% recall of true near-duplicates), regardless of how the
+    remaining near-orthogonal corpus scatters over cells."""
+    from sparksketch.similarity import ivf_topk
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = np.array(emb.filter(F.col("vec_id") == 0)
+                 .select("embedding").first()[0], dtype=np.float64)
+    planted = spark.createDataFrame(
+        [(2_000_000 + i, (q * (1.0 + 0.1 * (i + 1))).tolist())
+         for i in range(5)],
+        "vec_id bigint, embedding array<double>")
+    base = (emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", F.transform("embedding",
+                                          lambda x: x.cast("double"))
+                    .alias("embedding"))
+            .unionByName(planted))
+    got = {r.vec_id for r in ivf_topk(base, q, k=10, n_centroids=16,
+                                      n_probe=4).collect()}
+    found = sum(1 for i in range(5) if 2_000_000 + i in got)
+    return spark.createDataFrame(
+        [(bool(found == 5), int(found))],
+        "planted_recalled boolean, n_found bigint")
+
+
 def q_stable_dedup_partitions(spark, sf_dir):
     """A1-A5 stable-BF ordered replay per conv partition (order-dependent =>
     no SQL oracle; determinism asserted in pytest)."""
@@ -710,6 +738,44 @@ def q_simhash_near_dups(spark, sf_dir):
                              max_hamming=6)
 
 
+def q_simhash_exact_dup_recall(spark, sf_dir):
+    """Value-checked SimHash contract (the rows-only simhash_near_dups
+    shows the raw operator): identical texts have identical SimHashes,
+    so every identical-text pair MUST be band-co-bucketed and pass the
+    hamming verify — the count of text-equal pairs in the result equals
+    the SQL count of identical-text pairs exactly (zero false negatives
+    of the banding at hamming 0)."""
+    from sparksketch.dedup import simhash_near_dups
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(docs, "doc_id", max_hamming=6)
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.col("text").alias("_tb"))
+    found = (pairs.join(ta, "id_a").join(tb, "id_b")
+             .filter(F.col("_ta") == F.col("_tb")).count())
+    return spark.createDataFrame([(int(found),)], "identical_pairs bigint")
+
+
+def q_winnow_exact_dup_recall(spark, sf_dir):
+    """Value-checked winnowing contract: identical texts have identical
+    fingerprint sets, so every identical-text pair shares >= min_shared
+    fingerprints and MUST be returned by the overlap join — text-equal
+    result pairs == SQL identical-pair count."""
+    from sparksketch.dedup import (fingerprint_overlap_pairs,
+                                   winnowed_fingerprints)
+    docs = _tbl(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(docs, "doc_id", k=5, window=4)
+    pairs = fingerprint_overlap_pairs(fps, "doc_id", min_shared=2)
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.col("text").alias("_tb"))
+    found = (pairs.join(ta, "id_a").join(tb, "id_b")
+             .filter(F.col("_ta") == F.col("_tb")).count())
+    return spark.createDataFrame([(int(found),)], "identical_pairs bigint")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding cosine near-dup via sign-LSH bucket join + exact verify.
     The sf embeddings are near-orthogonal random vectors, so 5 duplicates
@@ -772,12 +838,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_conv_distinct_texts": q_grouped_conv_distinct_texts,
         "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_planted_recall": q_ann_ivf_planted_recall,
         "stable_dedup_partitions": q_stable_dedup_partitions,
         "stable_replay_check": q_stable_replay_check,
         "streaming_windowed_distinct": q_streaming_windowed_distinct,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_near_dups": q_simhash_near_dups,
+        "simhash_exact_dup_recall": q_simhash_exact_dup_recall,
         "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
+        "winnow_exact_dup_recall": q_winnow_exact_dup_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id_documents": q_lang_id_documents,
         "multimodal_image_features": q_multimodal_image_features,
@@ -942,6 +1011,16 @@ SELECT doc_a, doc_b,
 FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.c + sb.c - i) >= 0.5
 """,
+        "ann_ivf_planted_recall":
+            "SELECT true AS planted_recalled, CAST(5 AS BIGINT) AS n_found",
+        "simhash_exact_dup_recall":
+            "SELECT CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) "
+            "AS identical_pairs FROM (SELECT count(*) AS c FROM documents "
+            "GROUP BY text HAVING count(*) > 1) s",
+        "winnow_exact_dup_recall":
+            "SELECT CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) "
+            "AS identical_pairs FROM (SELECT count(*) AS c FROM documents "
+            "GROUP BY text HAVING count(*) > 1) s",
         "embedding_near_dups":
             "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, "
             "1.0 AS cosine FROM embeddings WHERE vec_id < 5 ORDER BY 1",

@@ -101,3 +101,30 @@ class TestDistributedTreeRounds:
         r2 = tree_aggregate_multi(build_partials_multi(df, specs), ["b"],
                                   collect_max=4, fanout=4)
         assert d2["b"] == r2["b"]
+
+    def test_multi_level_rounds_all_kinds(self, spark, events):
+        """TWO tree levels (16 partials -> 8 -> 4 at fanout 2) — the shape
+        a 10k-partition cluster run takes: byte-identical to the flat
+        driver fold for the bitwise-commutative kinds, and
+        estimate-equivalent (within bound) for the compacting KLL whose
+        byte layout legitimately depends on merge tree shape."""
+        from sparksketch.agg import (BloomSpec, HLLSpec, KLLSpec,
+                                     build_partials, tree_aggregate)
+        from sparksketch.shape import Shape
+        from sparksketch.sketches import sketch_from_bytes
+        df = events.repartition(16)
+        for spec in (BloomSpec(Shape.from_np(5000, 1e-6)), HLLSpec(p=12)):
+            direct = tree_aggregate(build_partials(df, spec, ["user_id"]))
+            rounds = tree_aggregate(build_partials(df, spec, ["user_id"]),
+                                    collect_max=4, fanout=2)
+            assert direct == rounds, type(spec).__name__
+        kspec = KLLSpec(k=128, col="value")
+        flat = sketch_from_bytes(tree_aggregate(
+            build_partials(df, kspec, ["event_id"])))
+        tree = sketch_from_bytes(tree_aggregate(
+            build_partials(df, kspec, ["event_id"]),
+            collect_max=4, fanout=2))
+        assert flat.n == tree.n
+        for q in (0.1, 0.5, 0.9):
+            # both within the sketch's eps-rank bound of each other
+            assert abs(flat.rank(tree.quantile(q)) - q) <= 2 * 5.0 / 128
