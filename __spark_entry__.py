@@ -300,13 +300,14 @@ def q_fill_layered_bursty_streams(spark, sf_dir):
     layer whenever its estimate_n crosses target_n.
 
     Exact-oracle checks per stream (booleans, zero-FP regime):
-    - ``found_all``: every user of the stream is found (`find`) in >= 1
-      layer — probed DISTRIBUTIVELY via with_layer_find;
+    - ``found_all``: every (stream, user) is found (`find`) in >= 1 of
+      that stream's layers — probed DISTRIBUTIVELY in ONE job via the
+      keyed multi-blob probe (with_keyed_layer_find);
     - ``layers_ok``: every non-final layer is saturated-to-bound
       (target <= estimate_n <= target + 2) — the advance-on-fill contract
       itself, checked over the O(layers) collected blobs (state rows, not
       data rows)."""
-    from sparksketch.agg import fill_layered_build, with_layer_find
+    from sparksketch.agg import fill_layered_build, with_keyed_layer_find
     from sparksketch.shape import Shape
     from sparksketch.sketches import sketch_from_bytes
     ev = _tbl(spark, sf_dir, "events")
@@ -317,7 +318,15 @@ def q_fill_layered_bursty_streams(spark, sf_dir):
         ev, shape, target, ["user_id"],
         stream_col=F.pmod(F.col("event_id"), F.lit(4)),
         order_cols=["event_id"], num_partitions=4).collect()
-    evs = ev.withColumn("stream", F.pmod(F.col("event_id"), F.lit(4)))
+    blobs = {int(r.stream): bytes(r.sketch) for r in parts}
+    stream_users = (ev.select(F.pmod(F.col("event_id"), F.lit(4))
+                              .alias("stream"), "user_id").distinct())
+    missing = {int(r.stream): int(r.miss) for r in
+               (with_keyed_layer_find(stream_users, blobs, "stream",
+                                      ["user_id"], out_col="hits")
+                .groupBy("stream")
+                .agg(F.sum((F.size("hits") == 0).cast("long")).alias("miss"))
+                .collect())}
     rows = []
     for r in sorted(parts, key=lambda r: r.stream):
         sk = sketch_from_bytes(bytes(r.sketch))
@@ -327,13 +336,9 @@ def q_fill_layered_bursty_streams(spark, sf_dir):
                 int(np.unpackbits(sk.layers[k].view(np.uint8)).sum()))
             <= target + 2
             for k in keys[:-1])
-        users_s = (evs.filter(F.col("stream") == r.stream)
-                   .select("user_id").distinct())
-        missing = (with_layer_find(users_s, bytes(r.sketch), ["user_id"],
-                                   out_col="hits")
-                   .filter(F.size("hits") == 0).count())
         rows.append((int(r.stream), int(r.rows),
-                     bool(missing == 0), bool(layers_ok)))
+                     bool(missing.get(int(r.stream), 0) == 0),
+                     bool(layers_ok)))
     return spark.createDataFrame(
         rows, "stream bigint, n_rows bigint, found_all boolean, "
               "layers_ok boolean")
@@ -801,12 +806,41 @@ def q_lang_id_documents(spark, sf_dir):
 
 
 def q_multimodal_image_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> mapInPandas feature extract
-    (decode stubbed deterministically; see sparksketch/multimodal.py)."""
+    """Multimodal image pipeline with a REAL codec end-to-end: payloads
+    are genuine binary PPM (P6) images decoded by the pure-NumPy parser
+    in sparksketch/multimodal.py (no codec library needed), features
+    extracted via mapInPandas.  Pixel content is the arithmetic gradient
+    (media_id + y + x + c) % 256, so the SQL oracle recomputes every
+    channel mean from first principles — the encode/decode round-trip is
+    value-checked, not just schema-checked."""
     from sparksketch.multimodal import image_features, synthesize_media
     media = synthesize_media(spark, n=64)
-    return image_features(media, fake=True).select(
-        "media_id", "mean_r", "mean_g", "mean_b")
+    return (image_features(media)
+            .select("media_id",
+                    F.round(F.col("mean_r").cast("double"), 2).alias("mean_r"),
+                    F.round(F.col("mean_g").cast("double"), 2).alias("mean_g"),
+                    F.round(F.col("mean_b").cast("double"), 2).alias("mean_b"))
+            .orderBy("media_id"))
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """Multimodal audio pipeline with a REAL codec end-to-end: payloads
+    are genuine RIFF/WAV PCM16 (pure-NumPy chunk parser), features via
+    mapInPandas.  Sample count and rate are exact oracle values; the
+    sine's dominant FFT frequency and RMS level are bound-checked
+    booleans (frequency is synthesized in [200, 400) Hz; a full-scale
+    0.366-amplitude sine has RMS ~ 0.259)."""
+    from sparksketch.multimodal import audio_features, synthesize_media
+    media = synthesize_media(spark, n=64)
+    return (audio_features(media)
+            .select("media_id",
+                    F.col("n_samples"),
+                    F.col("sample_rate").cast("long").alias("sample_rate"),
+                    ((F.col("dominant_hz") >= 190)
+                     & (F.col("dominant_hz") <= 410)).alias("freq_ok"),
+                    ((F.col("rms") >= 0.24) & (F.col("rms") <= 0.28))
+                    .alias("rms_ok"))
+            .orderBy("media_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -850,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id_documents": q_lang_id_documents,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
     }
 
 
@@ -1041,6 +1076,20 @@ SELECT lang_pred, count(*) AS cnt FROM (
               WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
   FROM s) GROUP BY 1
 """,
+        "multimodal_image_features": """
+WITH m AS (SELECT range AS media_id FROM range(0, 64) WHERE range % 3 = 0),
+     yy AS (SELECT range AS y FROM range(0, 48)),
+     xx AS (SELECT range AS x FROM range(0, 64))
+SELECT m.media_id,
+       round(avg((m.media_id + y + x + 0) % 256), 2) AS mean_r,
+       round(avg((m.media_id + y + x + 1) % 256), 2) AS mean_g,
+       round(avg((m.media_id + y + x + 2) % 256), 2) AS mean_b
+FROM m, yy, xx GROUP BY 1 ORDER BY 1
+""",
+        "multimodal_audio_features":
+            "SELECT range AS media_id, CAST(1600 AS BIGINT) AS n_samples, "
+            "CAST(16000 AS BIGINT) AS sample_rate, true AS freq_ok, "
+            "true AS rms_ok FROM range(0, 64) WHERE range % 3 = 1 ORDER BY 1",
         "ann_topk_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

@@ -624,6 +624,35 @@ def with_layer_find(df: DataFrame, blob: bytes,
         out_col, probe(F.xxhash64(*cols), F.xxhash64(F.lit(H2_SEED), *cols)))
 
 
+def with_keyed_layer_find(df: DataFrame, blobs: dict,
+                          key_col: str, cols: Sequence[str | Column],
+                          out_col: str = "layers") -> DataFrame:
+    """Per-row ``find`` against the layered sketch selected by the row's
+    ``key_col`` value (per-stream / per-tenant sketches): the whole dict
+    of KB-scale blobs broadcasts in the UDF closure, so probing N keyed
+    sketches costs ONE job instead of N.  Rows with keys absent from
+    ``blobs`` get an empty array."""
+
+    @F.pandas_udf("array<long>")
+    def probe(keys: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
+        sks = {k: sketch_from_bytes(b) for k, b in blobs.items()}
+        kn, h1n, h2n = keys.to_numpy(), h1.to_numpy(), h2.to_numpy()
+        out: list = [[]] * len(keys)
+        for k in pd.unique(keys):
+            mask = kn == k
+            sk = sks.get(k)
+            if sk is None:
+                continue
+            hits = sk.find_hashes(h1n[mask], h2n[mask])
+            for pos, h in zip(np.flatnonzero(mask), hits):
+                out[pos] = h
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, probe(F.col(key_col), F.xxhash64(*cols),
+                       F.xxhash64(F.lit(H2_SEED), *cols)))
+
+
 def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
                    build_df: DataFrame, build_cols: Sequence[str],
                    expected_n: int | None = None,

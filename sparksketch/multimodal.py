@@ -2,12 +2,23 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-The actual codec libraries (Pillow/ffmpeg/librosa) are NOT available in
-this environment, so the decode kernels are STUBBED: by default they raise
-``NotImplementedError``; with ``fake=True`` they produce a deterministic
-fake decode (seeded from the payload hash) so the Spark-side plumbing —
-schema, partitioning, UDF signature, Arrow batch shape — is real and
-tested end-to-end.  Swapping in a real codec is a one-function change."""
+Decode support has three tiers:
+
+1. **Real decoders, no codec libraries needed** — implemented here in pure
+   NumPy against the public format specs: PPM ``P6`` images (netpbm:
+   ASCII header + raw RGB24) and WAV PCM audio (RIFF: chunked header +
+   little-endian PCM samples).  ``synthesize_media`` emits genuine P6/WAV
+   payloads, so the image/audio pipelines run END-TO-END with real
+   decoding in this environment.
+2. **Stubbed decoders** — JPEG/PNG/MP4 etc. need Pillow/ffmpeg, which are
+   not installed here; those mimes raise ``NotImplementedError`` unless
+   ``fake=True`` (deterministic fake pixels seeded from the payload hash)
+   so the distributed plumbing stays testable.  Swapping in a real codec
+   is a one-function change.
+3. **Video** — frame sampling is tier 2 only (no container parser worth
+   hand-rolling); the Arrow batch shape and output schema are the
+   production contract.
+"""
 
 from __future__ import annotations
 
@@ -16,8 +27,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
-                               LongType, StringType, StructField, StructType)
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -29,20 +40,133 @@ MEDIA_SCHEMA = StructType([
     StructField("duration_ms", IntegerType()),
 ])
 
+MIME_PPM = "image/x-portable-pixmap"
+MIME_WAV = "audio/wav"
+
+
+# ---------------------------------------------------------------------------
+# real pure-NumPy codecs (public formats: netpbm P6, RIFF/WAV PCM)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM ``P6`` bytes."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM ``P6`` -> (h, w, 3) uint8.  Pure header parse +
+    frombuffer; no codec library."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace/comment-separated
+    # ASCII tokens, then ONE whitespace byte, then raw RGB24
+    tokens, pos, tok = [], 2, b""
+    while len(tokens) < 3:
+        c = payload[pos:pos + 1]
+        pos += 1
+        if c == b"#":                      # comment to end-of-line
+            while payload[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+        elif c.isspace():
+            if tok:
+                tokens.append(tok)
+                tok = b""
+        else:
+            tok += c
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono PCM -> RIFF/WAV bytes."""
+    import struct
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16, b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM16 -> (mono float32 samples in [-1, 1], sample_rate).
+    Chunk-walking header parse; no codec library."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, n_ch, bits, data = 12, None, 1, 16, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, n_ch, rate = struct.unpack_from("<HHI", payload, pos)
+            bits = struct.unpack_from("<H", payload, pos + 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            data = payload[pos:pos + sz]
+        pos += sz + (sz & 1)
+    if data is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, int(rate)
+
+
+# ---------------------------------------------------------------------------
+# synthetic media table (REAL P6/WAV payloads, deterministic content)
+# ---------------------------------------------------------------------------
 
 def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table for plumbing tests: payload bytes are
-    generated JVM-side from the id hash."""
-    return (spark.range(0, n, 1, partitions).select(
+    """Deterministic media table whose image/audio payloads are GENUINE
+    P6/WAV bytes (decodable by the real decoders above); video payloads
+    stay opaque.  Generation runs distributed via mapInPandas."""
+    base = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")).alias("kind"),
-        F.unbase64(F.base64(F.encode(
-            F.repeat(F.md5(F.col("id").cast("string")), 8), "utf-8"))).alias("payload"),
-        F.lit("application/x-fake").alias("mime"),
-        F.lit(64).alias("width"), F.lit(48).alias("height"),
-        F.lit(1000).alias("duration_ms")))
+                     (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"))
+        .alias("kind"))
 
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind in zip(pdf["media_id"], pdf["kind"]):
+                rng = np.random.default_rng(int(mid))
+                if kind == "image":
+                    # gradient px[y, x, c] = (media_id + y + x + c) % 256:
+                    # deterministic AND arithmetic, so channel statistics
+                    # are independently computable by the SQL oracle —
+                    # the real P6 encode/decode round-trip is value-checked
+                    y = np.arange(48)[:, None, None]
+                    x = np.arange(64)[None, :, None]
+                    c = np.arange(3)[None, None, :]
+                    px = ((int(mid) + y + x + c) % 256).astype(np.uint8)
+                    rows.append((mid, kind, encode_ppm(px), MIME_PPM,
+                                 64, 48, None))
+                elif kind == "audio":
+                    t = np.arange(1600, dtype=np.float32) / 16000.0
+                    f = 200.0 + float(rng.integers(0, 200))
+                    s = (np.sin(2 * np.pi * f * t) * 12000).astype(np.int16)
+                    rows.append((mid, kind, encode_wav(s), MIME_WAV,
+                                 None, None, 100))
+                else:
+                    rows.append((mid, kind,
+                                 rng.bytes(256), "video/x-opaque",
+                                 64, 48, 1000))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms"])
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode dispatch: real codecs where implemented, honest stubs elsewhere
+# ---------------------------------------------------------------------------
 
 def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
@@ -50,29 +174,36 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real implementation would be ``PIL.Image.open(BytesIO(...))``.
-    Deterministic fake keeps the distributed pipeline testable."""
+def decode_image(payload: bytes, mime: str | None = None,
+                 fake: bool = False) -> np.ndarray:
+    """P6 PPM decodes for real (pure NumPy).  Other image mimes need a
+    codec library that is not installed here: ``fake=True`` substitutes
+    deterministic fake pixels so the distributed pipeline stays testable;
+    otherwise NotImplementedError."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
     if not fake:
         raise NotImplementedError(
-            "image codec not available in this environment; pass fake=True "
-            "or plug a real decoder here")
+            f"no codec for mime={mime!r} in this environment (only P6 PPM "
+            "is natively decodable); pass fake=True or plug a decoder here")
     return _fake_pixels(payload, 48, 64)
 
 
 def image_features(df: DataFrame, fake: bool = False,
                    batch_hint: int = 64) -> DataFrame:
     """Decode + feature-extract via mapInPandas: mean/std per channel and a
-    16-bin luma histogram — the Arrow batch shape and output schema are the
-    production contract; only the decode call is stubbed."""
+    16-bin luma histogram.  P6 payloads use the REAL decoder; ``fake``
+    only gates what happens for mimes with no native codec."""
     out_schema = ("media_id long, mean_r float, mean_g float, mean_b float, "
                   "std_luma float, histo array<float>")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_image(bytes(payload), fake=fake).astype(np.float32)
+            for mid, payload, mime in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["mime"]):
+                px = decode_image(bytes(payload), mime,
+                                  fake=fake).astype(np.float32)
                 luma = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
                 hist = np.histogram(luma, bins=16, range=(0, 256))[0]
                 rows.append((mid, float(px[..., 0].mean()),
@@ -83,34 +214,66 @@ def image_features(df: DataFrame, fake: bool = False,
                                               "mean_b", "std_luma", "histo"])
 
     return (df.filter(F.col("kind") == "image")
+              .select("media_id", "payload", "mime")
+              .mapInPandas(fn, schema=out_schema))
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction (WAV PCM16, pure-NumPy decode):
+    duration, RMS level, zero-crossing rate, dominant frequency via FFT —
+    the standard cheap audio-quality/speech-detection features a
+    training-data pipeline filters on."""
+    out_schema = ("media_id long, n_samples long, sample_rate int, "
+                  "rms float, zero_cross_rate float, dominant_hz float")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x, rate = decode_wav(bytes(payload))
+                zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) \
+                    if x.size > 1 else 0.0
+                spec = np.abs(np.fft.rfft(x))
+                dom = float(np.argmax(spec[1:]) + 1) * rate / x.size \
+                    if x.size > 1 else 0.0
+                rows.append((mid, int(x.size), rate,
+                             float(np.sqrt(np.mean(x * x))), zc, dom))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "sample_rate", "rms",
+                "zero_cross_rate", "dominant_hz"])
+
+    return (df.filter(F.col("kind") == "audio")
               .select("media_id", "payload")
               .mapInPandas(fn, schema=out_schema))
 
 
 def resize_images(df: DataFrame, out_w: int, out_h: int,
                   fake: bool = False) -> DataFrame:
-    """Resize kernel (nearest-neighbor on the decoded array; re-encode
-    stubbed as raw bytes).  Shows the binary-in/binary-out contract."""
+    """Resize kernel (nearest-neighbor on the decoded array; re-encoded as
+    P6).  Binary-in/binary-out contract with a real codec on both ends."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_image(bytes(payload), fake=fake)
+            for mid, payload, mime in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["mime"]):
+                px = decode_image(bytes(payload), mime, fake=fake)
                 ys = (np.arange(out_h) * px.shape[0] // out_h)
                 xs = (np.arange(out_w) * px.shape[1] // out_w)
                 small = px[ys][:, xs]
-                out.append((mid, small.tobytes()))
+                out.append((mid, encode_ppm(small)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
     return (df.filter(F.col("kind") == "image")
-              .select("media_id", "payload")
+              .select("media_id", "payload", "mime")
               .mapInPandas(fn, schema="media_id long, payload binary"))
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 200,
                         fake: bool = False) -> DataFrame:
     """Frame-sampling contract: one output row per sampled frame
-    (media_id, frame_idx, ts_ms, frame binary).  Decode stubbed."""
+    (media_id, frame_idx, ts_ms, frame binary).  Decode stubbed — no
+    container parser without ffmpeg; the Arrow batch shape and schema are
+    the production contract."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

@@ -58,10 +58,17 @@ def _dot_with_literal(vec, q: np.ndarray):
     return _dots_matrix_udf(vec, q[None, :])[0]
 
 
+LITERAL_BUDGET = 512  # max rows*dim of constant literals in one plan
+
+
 def _plane_dots(vec, planes: np.ndarray) -> Column:
-    """array<double> of dots against each hyperplane — JVM per-plane
-    literals at low dim, one matmul UDF at high dim."""
-    if planes.shape[1] <= HIGH_DIM:
+    """array<double> of dots against each hyperplane/centroid — JVM
+    per-plane literals while the TOTAL literal count (rows x dim) stays
+    small, one matmul UDF otherwise.  The budget is about plan size, not
+    data size: 16 centroids x 768 dims as literals is ~12k expression
+    nodes of pure Catalyst compile time per query."""
+    if (planes.shape[1] <= HIGH_DIM
+            and planes.shape[0] * planes.shape[1] <= LITERAL_BUDGET):
         return F.array(*[_dot_with_literal(vec, planes[i])
                          for i in range(planes.shape[0])])
     return _dots_matrix_udf(vec, planes)

@@ -267,3 +267,38 @@ class TestMultimodal:
         from sparksketch.multimodal import decode_image
         with pytest.raises(NotImplementedError):
             decode_image(b"abc", fake=False)
+
+    def test_ppm_codec_roundtrip(self):
+        """Real P6 codec: encode/decode round-trips exactly, survives
+        header comments, rejects non-8-bit."""
+        from sparksketch.multimodal import decode_ppm, encode_ppm
+        rng = np.random.default_rng(4)
+        px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+        commented = b"P6\n# a comment\n5 7\n255\n" + px.tobytes()
+        assert np.array_equal(decode_ppm(commented), px)
+        with pytest.raises(ValueError):
+            decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)
+
+    def test_wav_codec_roundtrip_and_features(self):
+        """Real RIFF/WAV PCM16 codec: round-trip, stereo downmix, and the
+        FFT dominant-frequency feature recovers a known sine."""
+        from sparksketch.multimodal import decode_wav, encode_wav
+        t = np.arange(3200) / 16000.0
+        s = (np.sin(2 * np.pi * 440.0 * t) * 16000).astype(np.int16)
+        x, rate = decode_wav(encode_wav(s, rate=16000))
+        assert rate == 16000 and x.size == 3200
+        assert np.allclose(x, s / 32768.0, atol=1e-6)
+        spec = np.abs(np.fft.rfft(x))
+        dom = (np.argmax(spec[1:]) + 1) * rate / x.size
+        assert abs(dom - 440.0) <= rate / x.size  # one FFT bin
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFFxxxxNOPE")
+
+    def test_audio_features_distributed(self, spark):
+        from sparksketch.multimodal import audio_features, synthesize_media
+        rows = audio_features(synthesize_media(spark, n=12)).collect()
+        assert len(rows) == 4  # one third of kinds are audio
+        for r in rows:
+            assert r.n_samples == 1600 and r.sample_rate == 16000
+            assert 190 <= r.dominant_hz <= 410 and 0.2 <= r.rms <= 0.3
