@@ -505,6 +505,13 @@ def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
     small k, HLL p<=12).  If the input is already hash-partitioned by the
     group key, stage 1 emits exactly one row per group and stage 2 merges
     singletons.
+
+    Stage 2 is ALSO segmented (``repartition(group)`` + ``mapInPandas``
+    dict-fold) rather than ``applyInPandas``: per-group Arrow slicing
+    costs ~ms per group, which at 10^6+ groups dominates everything —
+    the dict-fold costs ~us per group.  Partials merge in sorted
+    stage-1-partition order per group, so grouped results are
+    deterministic for every sketch kind including the compacting ones.
     """
     group_cols = list(group_cols)
     prepared = spec.prepare(df, cols, keep=group_cols)
@@ -513,6 +520,7 @@ def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
                            + ["sketch binary", "rows long"])
 
     def build_segmented(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
         sks: dict[tuple, list] = {}
         for pdf in batches:
             if not len(pdf):
@@ -527,22 +535,47 @@ def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
                 spec.update(ent[0], sub)
                 ent[1] += len(sub)
         if sks:
+            pid = TaskContext.get().partitionId()
             keys = sorted(sks)  # canonical emit order
             data = {c: [k[i] for k in keys] for i, c in enumerate(group_cols)}
             data["sketch"] = [sks[k][0].to_bytes() for k in keys]
             data["rows"] = [sks[k][1] for k in keys]
+            data["_pid"] = pid
             yield pd.DataFrame(data)
 
-    stage1 = prepared.mapInPandas(build_segmented, out_schema)
+    stage1 = prepared.mapInPandas(build_segmented,
+                                  out_schema + ", _pid long")
 
-    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        blob = merge_blob_list(bytes(b) for b in pdf["sketch"])
-        data = {c: [key[i]] for i, c in enumerate(group_cols)}
-        data["sketch"] = [blob]
-        data["rows"] = [int(pdf["rows"].sum())]
-        return pd.DataFrame(data)
+    def merge_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # rows arrive sorted by (group, _pid) via sortWithinPartitions,
+            # so per-group merge order is deterministic even when a group
+            # spans Arrow batch boundaries
+            for key, sub in pdf.groupby(group_cols, sort=False,
+                                        dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                ent = acc.get(key)
+                blobs = [bytes(b) for b in sub["sketch"]]
+                if ent is None:
+                    acc[key] = [merge_blob_list(blobs),
+                                int(sub["rows"].sum())]
+                else:
+                    ent[0] = merge_blob_list([ent[0], *blobs])
+                    ent[1] += int(sub["rows"].sum())
+        if acc:
+            keys = sorted(acc)
+            data = {c: [k[i] for k in keys] for i, c in enumerate(group_cols)}
+            data["sketch"] = [acc[k][0] for k in keys]
+            data["rows"] = [acc[k][1] for k in keys]
+            yield pd.DataFrame(data)
 
-    return stage1.groupBy(*group_cols).applyInPandas(merge_group, out_schema)
+    return (stage1.repartition(*group_cols)
+            .sortWithinPartitions(*group_cols, "_pid")
+            .mapInPandas(merge_fold, out_schema))
 
 
 def with_sketch_estimate(df: DataFrame, out_col: str = "estimate",

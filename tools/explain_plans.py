@@ -116,15 +116,16 @@ def main():
         orders, ["o_custkey"], BottomKSpec(k=64), ["o_orderkey"]))
     print(p5)
     ok &= check("segmented grouped build: single sketch-row exchange", p5,
-                want=["MapInPandas", "FlatMapGroupsInPandas"], forbid=[])
+                want=["MapInPandas"], forbid=["FlatMapGroupsInPandas"])
     # the tree prints top-down, so compare plan NODE NUMBERS (dataflow
-    # order: (1) scan ... (n) sink): the one Exchange must sit after the
-    # MapInPandas partial build, i.e. it moves sketch rows only
+    # order: (1) scan ... (n) sink): both stages are MapInPandas and the
+    # single Exchange sits BETWEEN them — it moves sketch rows only
     import re
     ex_ids = [int(m) for m in re.findall(r"\bExchange \((\d+)\)", p5)]
-    map_ids = [int(m) for m in re.findall(r"\bMapInPandas \((\d+)\)", p5)]
+    map_ids = sorted(int(m) for m in
+                     re.findall(r"\bMapInPandas \((\d+)\)", p5))
     assert len(ex_ids) == 1, f"expected exactly one Exchange, got {ex_ids}"
-    assert map_ids and map_ids[0] < ex_ids[0], \
+    assert len(map_ids) == 2 and map_ids[0] < ex_ids[0] < map_ids[1], \
         "raw rows must not shuffle before the segmented partial build"
     print("PASS  segmented grouped build shuffles only sketch rows")
 
