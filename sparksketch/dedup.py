@@ -228,7 +228,11 @@ def fingerprint_overlap_pairs(fp_df: DataFrame, id_col: str,
     """Candidate near-dup pairs sharing >= min_shared winnowed
     fingerprints — an inverted-index join on fingerprint values (only
     fingerprints shuffle, never text)."""
-    ex = fp_df.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    from pyspark import StorageLevel
+    # persist: both join sides read `ex`, and without it the winnowing
+    # UDF upstream evaluates once per side
+    ex = (fp_df.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     a = ex.select(F.col(id_col).alias("id_a"), "fp")
     b = ex.select(F.col(id_col).alias("id_b"), "fp")
     return (a.join(b, ["fp"])
@@ -247,6 +251,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
     Candidate generation blocks on 16-bit bands of the 64-bit fingerprint
     (pigeonhole: any pair within hamming 3 shares at least one of 4 bands),
     then verifies with bit_count(xor) — all JVM expressions."""
+    from pyspark import StorageLevel
     from .text import simhash
     sh = simhash(df, id_col, text_col)
     banded = sh.select(
@@ -257,6 +262,10 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
                       .bitwiseAND(F.lit(0xFFFF)).alias("key"))
             for i in range(4)])).alias("bk")
     ).select(id_col, "simhash", "bk.band", "bk.key")
+    # both sides of the self-join read `banded`; without persist Catalyst
+    # re-evaluates the SimHash vote UDF once PER SIDE (no exchange reuse
+    # across a broadcast join) — persist makes it run once
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.key") == F.col("b.key"),
@@ -294,8 +303,10 @@ def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
     # similarity.HIGH_DIM (per-dimension literal expressions at dim 768+
     # bloat the plan past what codegen tolerates)
     bucket = _sign_code(_plane_dots(v, planes), n_planes)
-    base = emb_df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"),
-                         bucket.alias("bucket"))
+    from pyspark import StorageLevel
+    base = (emb_df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"),
+                          bucket.alias("bucket"))
+            .persist(StorageLevel.MEMORY_AND_DISK))  # one bucket pass, not two
     a, b = base.alias("a"), base.alias("b")
     cos = (F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
                                   lambda x, y: x * y),
