@@ -65,6 +65,13 @@ class SketchSpec:
     def update(self, sk: Sketch, pdf: pd.DataFrame) -> None:
         raise NotImplementedError
 
+    def est_bytes(self) -> int:
+        """Approximate serialized size of one partial sketch — used to
+        budget the driver-side collect in tree_aggregate (a 4 MB bloom x
+        1024 partials is 4 GB of driver heap; the tree rounds must kick
+        in by SIZE, not just row count)."""
+        return len(self.empty().to_bytes())
+
     # columns the update() step reads from the Arrow batch
     BATCH_COLS: ClassVar[tuple[str, ...]] = ("h1", "h2", "value")
 
@@ -148,6 +155,9 @@ class KLLSpec(SketchSpec):
     def empty(self) -> Sketch:
         return KLLSketch(self.k)
 
+    def est_bytes(self) -> int:
+        return 64 + 3 * self.k * 8  # total level capacity ~ 3k float64s
+
     def update(self, sk, pdf) -> None:
         sk.add_values(pdf["value"].to_numpy())
 
@@ -164,6 +174,9 @@ class TDigestSpec(SketchSpec):
     def empty(self) -> Sketch:
         return TDigest(self.compression)
 
+    def est_bytes(self) -> int:
+        return 64 + int(2 * self.compression) * 16  # centroid pairs
+
     def update(self, sk, pdf) -> None:
         sk.add_values(pdf["value"].to_numpy())
 
@@ -179,6 +192,9 @@ class BottomKSpec(SketchSpec):
 
     def empty(self) -> Sketch:
         return BottomKSketch(self.k)
+
+    def est_bytes(self) -> int:
+        return 64 + self.k * (16 if self.col is not None else 8)
 
     def update(self, sk, pdf) -> None:
         vals = pdf["value"].to_numpy() if self.col is not None else None
@@ -218,6 +234,10 @@ class LayeredBloomSpec(SketchSpec):
 
     def empty(self) -> Sketch:
         return LayeredBloomFilter(self.shape)
+
+    def est_bytes(self) -> int:
+        # per-layer bitmap x layer count (unknown up front; budget for 64)
+        return 64 + 64 * (self.shape.num_words * 8 + 8)
 
     def update(self, sk, pdf) -> None:
         sk.add_hashes(pdf["layer"].to_numpy(),
@@ -289,9 +309,24 @@ def _collect_partials(partials: DataFrame) -> pd.DataFrame:
     return pdf.sort_values("pid")
 
 
+DRIVER_COLLECT_BUDGET = 512 << 20  # max bytes of partial blobs collected
+
+
+def _budgeted_collect_max(collect_max: int, blob_bytes: int | None) -> int:
+    """Cap the driver-side collect by SIZE as well as row count: with a
+    per-partial size hint (spec.est_bytes()), never pull more than
+    DRIVER_COLLECT_BUDGET of blobs — extra tree rounds absorb the rest on
+    the executors.  A 4 MB bloom at 10k partitions collects 128 rows per
+    round instead of 10k (40 GB)."""
+    if not blob_bytes or blob_bytes <= 0:
+        return collect_max
+    return max(min(collect_max, DRIVER_COLLECT_BUDGET // blob_bytes), 8)
+
+
 def tree_aggregate(partials: DataFrame, depth: int | None = None,
                    canonical: bool = True, collect_max: int = 1024,
-                   fanout: int = 64) -> bytes | None:
+                   fanout: int = 64,
+                   blob_bytes: int | None = None) -> bytes | None:
     """Merge partial-sketch rows (one per input partition) to one blob.
 
     Partials are fixed-size KB-MB sketches, so the dominant cost is the
@@ -309,8 +344,11 @@ def tree_aggregate(partials: DataFrame, depth: int | None = None,
       so blobs stay in Arrow and AQE places the (tiny) shuffles.
 
     ``depth`` overrides the number of tree rounds; ``canonical`` is kept
-    for API compatibility (both paths are canonical now).
+    for API compatibility (both paths are canonical now).  ``blob_bytes``
+    (a per-partial size hint, e.g. ``spec.est_bytes()``) additionally caps
+    the driver collect by total bytes, not just row count.
     """
+    collect_max = _budgeted_collect_max(collect_max, blob_bytes)
     est_parts = partials.rdd.getNumPartitions()
     rounds = depth if depth is not None else 0
     if depth is None:
@@ -327,7 +365,8 @@ def sketch_dataframe(df: DataFrame, spec: SketchSpec,
                      cols: Sequence[str | Column],
                      canonical: bool = False) -> Sketch:
     """Build + merge in one call; returns the deserialized final sketch."""
-    blob = tree_aggregate(build_partials(df, spec, cols), canonical=canonical)
+    blob = tree_aggregate(build_partials(df, spec, cols), canonical=canonical,
+                          blob_bytes=spec.est_bytes())
     if blob is None:
         return spec.empty()
     return sketch_from_bytes(blob)
@@ -402,7 +441,8 @@ def tree_merge_round_multi(partials: DataFrame, names: Sequence[str],
 
 def tree_aggregate_multi(partials: DataFrame, names: Sequence[str],
                          collect_max: int = 1024,
-                         fanout: int = 64) -> dict[str, bytes | None]:
+                         fanout: int = 64,
+                         blob_bytes: int | None = None) -> dict[str, bytes | None]:
     """Merge a multi-sketch partials frame to one blob per sketch name.
 
     Up to ``collect_max`` partials are pulled straight to the driver via the
@@ -410,7 +450,9 @@ def tree_aggregate_multi(partials: DataFrame, names: Sequence[str],
     MB-scale blobs).  Beyond that — true cluster scale — parallel tree
     rounds fold ``fanout`` rows into one executor-side first, so the driver
     only ever sees ``collect_max`` rows.  Folds happen in sorted-pid order
-    at every level (canonical)."""
+    at every level (canonical).  ``blob_bytes`` = per-ROW total size hint
+    (sum of the specs' est_bytes()) capping the collect by bytes."""
+    collect_max = _budgeted_collect_max(collect_max, blob_bytes)
     est_parts = partials.rdd.getNumPartitions()
     while est_parts > collect_max:
         partials = tree_merge_round_multi(partials, names, fanout)
@@ -424,7 +466,9 @@ def sketch_dataframe_multi(
         specs: dict[str, tuple[SketchSpec, Sequence[str | Column]]]
 ) -> dict[str, Sketch]:
     """One-pass build+merge of several sketches; returns deserialized finals."""
-    blobs = tree_aggregate_multi(build_partials_multi(df, specs), list(specs))
+    blobs = tree_aggregate_multi(
+        build_partials_multi(df, specs), list(specs),
+        blob_bytes=sum(s.est_bytes() for s, _ in specs.values()))
     return {n: specs[n][0].empty() if blobs[n] is None
             else sketch_from_bytes(blobs[n]) for n in specs}
 
@@ -706,7 +750,9 @@ def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
     if expected_n is None:
         expected_n = build_df.count()
     shape = Shape.from_np(max(expected_n, 1), fpp)
-    blob = tree_aggregate(build_partials(build_df, BloomSpec(shape), build_cols))
+    bspec = BloomSpec(shape)
+    blob = tree_aggregate(build_partials(build_df, bspec, build_cols),
+                          blob_bytes=bspec.est_bytes())
     if blob is None:
         return probe_df.limit(0)
     flagged = with_might_contain(probe_df, blob, probe_cols, "_mc")
@@ -734,7 +780,8 @@ def cms_heavy_hitters(df: DataFrame, cols: Sequence[str],
     estimates, filtered to est >= min_count).
     """
     spec = CMSSpec(w=w, d=d)
-    blob = tree_aggregate(build_partials(df, spec, cols))
+    blob = tree_aggregate(build_partials(df, spec, cols),
+                          blob_bytes=spec.est_bytes())
     if blob is None:
         return df.select(*cols).limit(0).withColumn(
             "est_count", F.lit(0).cast("long"))

@@ -302,3 +302,25 @@ class TestMultimodal:
         for r in rows:
             assert r.n_samples == 1600 and r.sample_rate == 16000
             assert 190 <= r.dominant_hz <= 410 and 0.2 <= r.rms <= 0.3
+
+
+class TestBpeCrossEngineRandom:
+    def test_random_strings_tokenize_identically(self, spark):
+        """Randomized cross-engine agreement: 200 seeded random strings
+        over a mixed alphabet (letters, digits, punctuation, unicode,
+        apostrophes, whitespace runs) must tokenize to the same counts in
+        Spark's java.util.regex and DuckDB's RE2."""
+        import duckdb
+        from sparksketch.text import BPE_SPLIT_PATTERN, with_bpe_token_count
+        rng = np.random.default_rng(99)
+        alphabet = list("abz XYZ 019 .,!?-_'\"\t\n()[]") + ["é", "ß", "中"]
+        texts = ["".join(rng.choice(alphabet, size=rng.integers(0, 60)))
+                 for _ in range(200)]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "i long, text string")
+        got = {r.i: r.n_bpe_tokens
+               for r in with_bpe_token_count(df).collect()}
+        for i, t in enumerate(texts):
+            n = duckdb.sql("SELECT len(regexp_extract_all(?, ?))",
+                           params=[t, BPE_SPLIT_PATTERN]).fetchone()[0]
+            assert got[i] == n, (repr(t), got[i], n)

@@ -128,3 +128,23 @@ class TestDistributedTreeRounds:
         for q in (0.1, 0.5, 0.9):
             # both within the sketch's eps-rank bound of each other
             assert abs(flat.rank(tree.quantile(q)) - q) <= 2 * 5.0 / 128
+
+    def test_driver_collect_budgeted_by_blob_size(self, spark, events,
+                                                  monkeypatch):
+        """A per-partial size hint must cap the driver collect by BYTES:
+        with a tiny budget the merge goes through executor tree rounds
+        and still produces identical bytes."""
+        import sparksketch.agg as agg
+        from sparksketch.agg import (BloomSpec, build_partials,
+                                     tree_aggregate)
+        from sparksketch.shape import Shape
+        spec = BloomSpec(Shape.from_np(5000, 1e-6))
+        assert spec.est_bytes() > 1000  # dense bitmap, real size
+        df = events.repartition(16)
+        direct = tree_aggregate(build_partials(df, spec, ["user_id"]))
+        monkeypatch.setattr(agg, "DRIVER_COLLECT_BUDGET",
+                            8 * spec.est_bytes())
+        budgeted = tree_aggregate(build_partials(df, spec, ["user_id"]),
+                                  blob_bytes=spec.est_bytes(), fanout=4)
+        assert budgeted == direct
+        assert agg._budgeted_collect_max(1024, spec.est_bytes()) == 8
