@@ -442,6 +442,29 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                     F.col("id_b").alias("doc_b"), "jaccard"))
 
 
+def q_dedup_near_clusters(spark, sf_dir):
+    """Near-dup CLUSTER canonicalization — the step after pair
+    generation every dedup pipeline needs: >= 0.5-jaccard pairs (LSH
+    candidates -> exact verify, as in ngram_jaccard_pairs) chain
+    transitively into components via iterative min-label propagation with
+    pointer jumping (lineage-truncated each round), and each cluster
+    keeps one canonical doc (min id).  The oracle recomputes the
+    transitive closure with a recursive CTE over the same exact-pair
+    set."""
+    from pyspark import StorageLevel
+    from sparksketch.dedup import (dedup_clusters, exact_jaccard_pairs,
+                                   lsh_candidate_pairs, minhash_signatures)
+    docs = _tbl(spark, sf_dir, "documents")
+    sigs = (minhash_signatures(docs, "doc_id", n_perm=32, shingle_n=3)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=2)
+    pairs = exact_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                                threshold=0.5, pairs=cands)
+    return (dedup_clusters(docs, pairs, "doc_id")
+            .select("doc_id", "cluster_id", "is_canonical")
+            .orderBy("doc_id"))
+
+
 def q_ann_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-10 vs the embedding of vec_id 0."""
     from sparksketch.similarity import cosine_topk
@@ -866,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "quality_features_documents": q_quality_features_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_near_clusters": q_dedup_near_clusters,
         "ann_topk_cosine": q_ann_topk_cosine,
         "bloom_setops_estimates": q_bloom_setops_estimates,
         "grouped_kmv_role_distinct": q_grouped_kmv_role_distinct,
@@ -1045,6 +1069,33 @@ SELECT doc_a, doc_b,
        round(i * 1.0 / (sa.c + sb.c - i), 6) AS jaccard
 FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.c + sb.c - i) >= 0.5
+""",
+        "dedup_near_clusters": """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, greatest(len(w) - 2, 1) + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+p AS (SELECT id_a, id_b
+      FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.c + sb.c - i) >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+reach AS (SELECT a AS node, a AS r FROM e
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY d.doc_id
 """,
         "ann_ivf_planted_recall":
             "SELECT true AS planted_recalled, CAST(5 AS BIGINT) AS n_found",

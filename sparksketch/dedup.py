@@ -242,6 +242,80 @@ def fingerprint_overlap_pairs(fp_df: DataFrame, id_col: str,
              .filter(F.col("shared") >= min_shared))
 
 
+# -- near-dup clusters: connected components + canonical selection ----------
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) over an undirected edge list — component id =
+    min node id in the component.  The post-candidate step every dedup
+    pipeline needs: near-dup PAIRS chain transitively (A~B, B~C), and the
+    keep/drop decision is per CLUSTER, not per pair.
+
+    Iterative min-label propagation with pointer-jumping: each round a
+    node takes the min of (its label, neighbors' labels, its LABEL'S
+    label).  Plain propagation converges in O(diameter) rounds; the
+    pointer-jump term makes long chains collapse in O(log n).  Each round
+    is two shuffles over the (small) edge/label lists — raw documents are
+    never touched.  Iterates until a fixpoint (no label changed) and
+    raises if ``max_iter`` was insufficient rather than returning a
+    silently-partial clustering."""
+    from pyspark import StorageLevel
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    # localCheckpoint (not just persist) each round: the label frame
+    # appears three times per iteration, so an unbroken lineage grows
+    # 3^rounds plan nodes and OOMs the planner — iterative Spark needs
+    # lineage truncation (in production, checkpoint() to the cluster FS
+    # for executor-loss tolerance)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels.withColumnRenamed("node", "b"), "b")
+                   .groupBy("a").agg(F.min("comp").alias("_nbr")))
+        jumped = (labels
+                  .join(labels.select(F.col("node").alias("comp"),
+                                      F.col("comp").alias("_jump")),
+                        "comp", "left"))
+        new_labels = (jumped
+                      .join(nbr_min.withColumnRenamed("a", "node"),
+                            "node", "left")
+                      .select("node",
+                              F.least("comp",
+                                      F.coalesce("_nbr", "comp"),
+                                      F.coalesce("_jump", "comp"))
+                              .alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("comp", "_new")
+                   .join(labels, "node")
+                   .filter(F.col("_new") != F.col("comp")).count())
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels.select(F.col("node"), F.col("comp"))
+    raise RuntimeError(f"connected_components did not converge in "
+                       f"{max_iter} rounds")
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   keep: str = "min") -> DataFrame:
+    """Cluster near-dup pairs transitively and pick one canonical doc per
+    cluster: (id, cluster_id, is_canonical).  Docs in no pair are their
+    own singleton cluster (canonical).  ``keep='min'`` keeps the lowest
+    id — swap for a quality-score argmax in a real pipeline."""
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = (df.select(F.col(id_col))
+           .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("comp", F.col(id_col)).alias("cluster_id")))
+    return out.withColumn("is_canonical",
+                          F.col(id_col) == F.col("cluster_id"))
+
+
 # -- SimHash near-dup -------------------------------------------------------
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",

@@ -324,3 +324,29 @@ class TestBpeCrossEngineRandom:
             n = duckdb.sql("SELECT len(regexp_extract_all(?, ?))",
                            params=[t, BPE_SPLIT_PATTERN]).fetchone()[0]
             assert got[i] == n, (repr(t), got[i], n)
+
+
+class TestDedupClusters:
+    def test_chain_and_singletons(self, spark):
+        from sparksketch.dedup import connected_components, dedup_clusters
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint")
+        comp = {r.node: r.comp for r in
+                connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+        docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)],
+                                     "doc_id bigint")
+        out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in
+               dedup_clusters(docs, edges).collect()}
+        assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                       7: (7, True), 8: (7, False), 9: (9, True)}
+
+    def test_long_chain_pointer_jumping(self, spark):
+        """A 24-node path graph collapses to one component well inside the
+        iteration cap (pointer jumping makes rounds O(log n), not O(n))."""
+        from sparksketch.dedup import connected_components
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(23)], "id_a bigint, id_b bigint")
+        comp = {r.node: r.comp for r in
+                connected_components(edges, max_iter=10).collect()}
+        assert set(comp.values()) == {0} and len(comp) == 24
