@@ -734,6 +734,56 @@ def q_streaming_windowed_distinct(spark, sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q_streaming_stable_dedup_flags(spark, sf_dir):
+    """Continuous stable-BF dedup as a REAL Structured Streaming query
+    (applyInPandasWithState keyed by conv_id, 2 file micro-batches split
+    by turn range so arrival order matches turn order): per-turn is_dup
+    flags.
+
+    Exact-regime oracle: with capacity >> data (fps 2^-30, max=255,
+    m >> inserts) the decaying filter degenerates to perfect per-conv
+    memory, so is_dup == "same text appeared at an earlier turn of this
+    conversation" — a SQL window over (conv_id, text).  This puts the
+    custom stateful streaming operator itself under the value gate, not
+    just pytest."""
+    import glob
+    import shutil
+    import tempfile
+    from sparksketch.shape import Shape, StableShape
+    from sparksketch.streaming import stable_dedup_stream
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text")
+    mid = tr.agg(F.max("turn_idx")).first()[0] // 2
+    src = tempfile.mkdtemp(prefix="stable_stream_src_")
+    try:
+        for i, part in enumerate((tr.filter(F.col("turn_idx") <= mid),
+                                  tr.filter(F.col("turn_idx") > mid))):
+            part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+            pf = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+            shutil.move(pf, f"{src}/{i:03d}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+        # the filter is PER CONVERSATION (state key), so capacity is per-conv
+        # turns (~tens), not table rows: n=2000 at fps 2^-30 is ~86 KB of
+        # state per conv and zero FP/decay over the stream
+        ss = (StableShape.builder(Shape.from_np(2000, 2.0 ** -30))
+              .set_max(255).build())
+        stream = (spark.readStream.schema(tr.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        flags = stable_dedup_stream(stream, ss, ["text"],
+                                    key_col="conv_id",
+                                    order_cols=["turn_idx"])
+        q = (flags.writeStream.format("memory")
+             .queryName("stable_flags_gate").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return (spark.table("stable_flags_gate")
+                .select("conv_id", "turn_idx", "is_dup")
+                .orderBy("conv_id", "turn_idx"))
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs with signature jaccard."""
     from pyspark import StorageLevel
@@ -900,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_dedup_partitions": q_stable_dedup_partitions,
         "stable_replay_check": q_stable_replay_check,
         "streaming_windowed_distinct": q_streaming_windowed_distinct,
+        "streaming_stable_dedup_flags": q_streaming_stable_dedup_flags,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash_exact_dup_recall": q_simhash_exact_dup_recall,
@@ -1004,6 +1055,13 @@ HAVING count(*) >= greatest(CAST(floor(
             _TRANSCRIPTS_CTE
             + "SELECT true AS all_match, CAST(8 AS BIGINT) AS n_partitions, "
               "count(*) AS total_rows FROM t",
+        "streaming_stable_dedup_flags":
+            _TRANSCRIPTS_CTE
+            + """SELECT conv_id, turn_idx,
+       count(*) OVER (PARTITION BY conv_id, text ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) > 0 AS is_dup
+FROM t ORDER BY conv_id, turn_idx""",
         "fill_layered_bursty_streams":
             "SELECT event_id % 4 AS stream, count(*) AS n_rows, "
             "true AS found_all, true AS layers_ok FROM events "
