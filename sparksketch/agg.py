@@ -29,12 +29,12 @@ Execution design (SURVEY.md §4, BASELINE.json north_rule):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, ClassVar, Iterator, Sequence
+from typing import ClassVar, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import BinaryType, BooleanType, LongType
+from pyspark.sql.types import BooleanType, LongType
 
 from .shape import Shape, StableShape
 from .sketches import (BloomFilter, BottomKSketch, CountMinSketch,
