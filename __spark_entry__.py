@@ -327,13 +327,13 @@ def q_fill_layered_bursty_streams(spark, sf_dir):
                 .groupBy("stream")
                 .agg(F.sum((F.size("hits") == 0).cast("long")).alias("miss"))
                 .collect())}
+    from sparksketch.bitops import popcount
     rows = []
     for r in sorted(parts, key=lambda r: r.stream):
         sk = sketch_from_bytes(bytes(r.sketch))
         keys = sorted(sk.layers)
         layers_ok = all(
-            target <= shape.estimate_n(
-                int(np.unpackbits(sk.layers[k].view(np.uint8)).sum()))
+            target <= shape.estimate_n(popcount(sk.layers[k]))
             <= target + 2
             for k in keys[:-1])
         rows.append((int(r.stream), int(r.rows),

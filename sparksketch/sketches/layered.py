@@ -199,13 +199,27 @@ class FillLayeredBloomFilter:
                                            - self.max_layers]:
                 del self.layers[key]
 
+    _CHUNK = 2048  # bound each advance's rescan window
+
     def insert_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
         """Ordered replay of a batch: items are inserted in array order;
         the advance predicate is evaluated BEFORE each item (commons
-        extendCheck-then-merge), vectorized per layer segment."""
+        extendCheck-then-merge), vectorized per layer segment.
+
+        Large batches are processed in fixed chunks: each layer advance
+        rescans only the remaining rows of its chunk, so total work is
+        O(n * k) instead of O(advances * n * k) when many layers roll in
+        one batch.  Chunking cannot change results — the replay state
+        carries across calls (asserted by the batch-split-invariance
+        test)."""
         from ..bitops import popcount
         n = len(h1)
         if n == 0:
+            return
+        if n > self._CHUNK:
+            for s in range(0, n, self._CHUNK):
+                self.insert_hashes(h1[s:s + self._CHUNK],
+                                   h2[s:s + self._CHUNK])
             return
         idx = edh_indices(h1, h2, self.shape.k, self.shape.m)
         start = 0
