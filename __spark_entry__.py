@@ -189,6 +189,55 @@ def q_kll_grouped_qty_quantiles(spark, sf_dir):
                                  "l_returnflag string, q double, qty double")
 
 
+def q_kll_interturn_latency_quantiles(spark, sf_dir):
+    """north_star-named workload: inter-turn latency quantiles — per-conv
+    ts deltas (lag window over (conv_id, turn_idx)) fed to a KLL sketch in
+    the exact regime; oracle = the same window + quantile_cont."""
+    from sparksketch.agg import KLLSpec, sketch_dataframe
+    from sparksketch.transcripts import transcripts_from_events
+    from pyspark.sql import Window
+    _utc(spark)
+    tr = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # cast -> double keeps sub-second precision (unix_timestamp truncates
+    # to whole seconds and would diverge from the oracle's epoch()); the
+    # NTZ type needs a hop through timestamp_ltz (session TZ is UTC, and
+    # the offset cancels in the delta anyway)
+    secs = F.col("ts").cast("timestamp").cast("double")
+    deltas = (tr.withColumn("delta_s", secs - F.lag(secs).over(w))
+              .filter(F.col("delta_s").isNotNull()))
+    n = deltas.count()
+    sk = sketch_dataframe(deltas, KLLSpec(k=max(2 * n, 64), col="delta_s"),
+                          ["conv_id"], canonical=True)
+    rows = [(float(q), float(round(sk.quantile(q), 6))) for q in QS]
+    return spark.createDataFrame(rows, "q double, delta_s double")
+
+
+def q_bloom_conv_tool_membership(spark, sf_dir):
+    """north_star-named workload: (conv_id, tool) pair membership via a
+    distributed Bloom filter — positives are every observed pair, negatives
+    are the same conv with a tool name that never occurs; zero-FP regime
+    makes the boolean column exact against an IN-list oracle."""
+    from sparksketch.agg import BloomSpec, build_partials, tree_aggregate, \
+        with_might_contain
+    from sparksketch.shape import Shape
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir).filter(
+        F.col("tool").isNotNull())
+    pos = tr.select("conv_id", "tool").distinct()
+    n = pos.count()
+    spec = BloomSpec(Shape.from_np(max(n, 1024), 1e-9))
+    blob = tree_aggregate(build_partials(tr, spec, ["conv_id", "tool"]),
+                          blob_bytes=spec.est_bytes())
+    neg = pos.select("conv_id",
+                     F.concat(F.col("tool"), F.lit("-absent")).alias("tool"))
+    probes = pos.unionByName(neg)
+    return (with_might_contain(probes, blob, ["conv_id", "tool"],
+                               out_col="member")
+            .select("conv_id", "tool", "member")
+            .orderBy("conv_id", "tool"))
+
+
 def q_kll_fixedk_rank_bound(spark, sf_dir):
     """KLL in the APPROXIMATE regime: fixed k=200, so the sketch runs real
     compaction + multi-level distributed merge — the regime a 100 TB run
@@ -928,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_lineitem_qty_quantiles": q_kll_lineitem_qty_quantiles,
         "kll_grouped_qty_quantiles": q_kll_grouped_qty_quantiles,
         "kll_fixedk_rank_bound": q_kll_fixedk_rank_bound,
+        "kll_interturn_latency_quantiles": q_kll_interturn_latency_quantiles,
+        "bloom_conv_tool_membership": q_bloom_conv_tool_membership,
         "tdigest_price_bound": q_tdigest_price_bound,
         "hll_distinct_users_bound": q_hll_distinct_users_bound,
         "layered_daily_distinct_users": q_layered_daily_distinct_users,
@@ -1042,6 +1093,23 @@ HAVING count(*) >= greatest(CAST(floor(
             for q in (0.25, 0.5, 0.75)),
         "kll_fixedk_rank_bound":
             "SELECT true AS all_within_bound, count(*) AS n FROM lineitem",
+        "kll_interturn_latency_quantiles":
+            _TRANSCRIPTS_CTE + """
+, d AS (SELECT CAST(epoch(ts) - epoch(lag(ts) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx)) AS DOUBLE) AS delta_s
+        FROM t)
+"""
+            + " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"round(quantile_cont(delta_s, {q}), 6) AS delta_s "
+                f"FROM d WHERE delta_s IS NOT NULL" for q in QS),
+        "bloom_conv_tool_membership":
+            _TRANSCRIPTS_CTE + """
+, pos AS (SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL)
+SELECT conv_id, tool, true AS member FROM pos
+UNION ALL
+SELECT conv_id, tool || '-absent' AS tool, false AS member FROM pos
+ORDER BY conv_id, tool""",
         "tdigest_price_bound":
             "SELECT true AS all_within_bound, count(*) AS n FROM lineitem",
         "hll_distinct_users_bound":
