@@ -600,6 +600,25 @@ def q_grouped_conv_distinct_texts(spark, sf_dir):
             .orderBy("conv_id"))
 
 
+def q_cube_role_tool_distinct(spark, sf_dir):
+    """Grouping sets over sketches (SURVEY Table C): distinct texts by
+    CUBE(role, tool) — computed as ONE scan building the finest
+    (role, tool) bottom-k sketches, with every coarser set (role), (tool),
+    () derived by merging sketch rows.  Exact regime (k >= distinct) =>
+    equals SQL GROUP BY CUBE."""
+    from sparksketch.agg import (BottomKSpec, grouped_sketch_cube,
+                                 with_sketch_estimate)
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir).filter(
+        F.col("tool").isNotNull())
+    cube = grouped_sketch_cube(tr, ["role", "tool"],
+                               BottomKSpec(k=1 << 18), ["text"])
+    return (with_sketch_estimate(cube, "est")
+            .select("role", "tool",
+                    F.round("est").cast("long").alias("distinct_texts"))
+            .orderBy("role", "tool"))
+
+
 def q_checkpoint_resume_distinct(spark, sf_dir):
     """Checkpoint/resume lineage (north_rule): build half the partitions,
     'crash', resume the rest, merge from the checkpoint — exact distinct
@@ -995,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_setops_estimates": q_bloom_setops_estimates,
         "grouped_kmv_role_distinct": q_grouped_kmv_role_distinct,
         "grouped_conv_distinct_texts": q_grouped_conv_distinct_texts,
+        "cube_role_tool_distinct": q_cube_role_tool_distinct,
         "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_planted_recall": q_ann_ivf_planted_recall,
@@ -1056,6 +1076,11 @@ def oracle_sql() -> dict[str, str]:
             _TRANSCRIPTS_CTE
             + "SELECT conv_id, count(DISTINCT text) AS distinct_texts "
               "FROM t GROUP BY conv_id ORDER BY conv_id",
+        "cube_role_tool_distinct":
+            _TRANSCRIPTS_CTE
+            + "SELECT role, tool, count(DISTINCT text) AS distinct_texts "
+              "FROM t WHERE tool IS NOT NULL GROUP BY CUBE(role, tool) "
+              "ORDER BY role, tool",
         "checkpoint_resume_distinct":
             _TRANSCRIPTS_CTE
             + "SELECT count(DISTINCT conv_id) AS distinct_convs FROM t",

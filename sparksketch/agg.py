@@ -622,6 +622,93 @@ def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
             .mapInPandas(merge_fold, out_schema))
 
 
+def regroup_sketch_rows(grouped: DataFrame, group_cols: Sequence[str],
+                        order_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge an existing ``[*keys, sketch, rows]`` frame down to a COARSER
+    key set — because every sketch kind here is mergeable, rollups /
+    grouping-set views are an algebra over KB-scale sketch rows, never a
+    rescan of the data.  ``order_cols`` (e.g. the dropped dims) fixes the
+    per-group merge order for determinism."""
+    group_cols = list(group_cols)
+    ktypes = dict(grouped.dtypes)
+    out_schema = ", ".join([f"`{c}` {ktypes[c]}" for c in group_cols]
+                           + ["sketch binary", "rows long"])
+    sort_cols = group_cols + [c for c in order_cols
+                              if c in ktypes and c not in group_cols]
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            it = (pdf.groupby(group_cols, sort=False, dropna=False)
+                  if group_cols else [((), pdf)])
+            for key, sub in it:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                ent = acc.get(key)
+                blobs = [bytes(b) for b in sub["sketch"]]
+                if ent is None:
+                    acc[key] = [merge_blob_list(blobs),
+                                int(sub["rows"].sum())]
+                else:
+                    ent[0] = merge_blob_list([ent[0], *blobs])
+                    ent[1] += int(sub["rows"].sum())
+        if acc:
+            keys = sorted(acc)
+            data = {c: [k[i] for k in keys]
+                    for i, c in enumerate(group_cols)}
+            data["sketch"] = [acc[k][0] for k in keys]
+            data["rows"] = [acc[k][1] for k in keys]
+            yield pd.DataFrame(data)
+
+    src = grouped
+    if group_cols:
+        src = (src.repartition(*group_cols)
+               .sortWithinPartitions(*sort_cols))
+    else:
+        src = src.coalesce(1)
+        if sort_cols:
+            src = src.sortWithinPartitions(*sort_cols)
+    return src.mapInPandas(fold, out_schema)
+
+
+def grouped_sketch_cube(df: DataFrame, dims: Sequence[str],
+                        spec: SketchSpec,
+                        cols: Sequence[str | Column]) -> DataFrame:
+    """ONE-SCAN CUBE over sketches (SURVEY Table C grouping sets): the
+    finest per-(all dims) sketches are built once from the data, and every
+    coarser grouping set — down to the global () — is derived by MERGING
+    those sketch rows (regroup_sketch_rows).  At 100 TB this turns the 2^d
+    scans a naive CUBE costs into one scan + KB-row merges.  Output has
+    SQL ``GROUP BY CUBE`` shape: absent dims are NULL.
+
+    Exactness note: deriving coarse sets by merge is exact for the
+    commutative kinds (bloom/HLL/CMS/bottom-k/minhash); compacting kinds
+    (KLL/t-digest) remain within their published bound but may differ
+    bitwise from a direct coarse build.
+    """
+    from functools import reduce
+    from itertools import combinations
+    from pyspark import StorageLevel
+    dims = list(dims)
+    dtypes = dict(df.select(*dims).dtypes)
+    finest = (grouped_sketch_segmented(df, dims, spec, cols)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    frames = []
+    for r in range(len(dims), -1, -1):
+        for subset in combinations(dims, r):
+            sub = list(subset)
+            g = (finest if sub == dims
+                 else regroup_sketch_rows(finest, sub, order_cols=dims))
+            frames.append(g.select(
+                *[(F.col(c) if c in sub
+                   else F.lit(None).cast(dtypes[c])).alias(c)
+                  for c in dims],
+                "sketch", "rows"))
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def with_sketch_estimate(df: DataFrame, out_col: str = "estimate",
                          sketch_col: str = "sketch") -> DataFrame:
     """Adds each row's sketch estimate (distinct count for bottom-k/HLL/

@@ -152,6 +152,29 @@ class TestGrouped:
                                         ["user_id"]).collect()}
         assert plain == seg
 
+    def test_regroup_from_finest_equals_direct(self, events):
+        """CUBE building block: merging finest (a, b) sketches down to (a)
+        must be byte-identical to building (a) directly from the data —
+        the one-scan rollup is exact for commutative kinds."""
+        from sparksketch.agg import (grouped_sketch_segmented,
+                                     regroup_sketch_rows)
+        spec = BloomSpec(Shape.from_np(10_000, 1e-6))
+        finest = grouped_sketch_segmented(
+            events, ["event_type", "user_id"], spec, ["props"])
+        rolled = {r.event_type: (bytes(r.sketch), r.rows) for r in
+                  regroup_sketch_rows(finest, ["event_type"],
+                                      order_cols=["user_id"]).collect()}
+        direct = {r.event_type: (bytes(r.sketch), r.rows) for r in
+                  grouped_sketch_segmented(events, ["event_type"], spec,
+                                           ["props"]).collect()}
+        assert rolled == direct
+        # global () regroup == one tree-aggregated blob
+        from sparksketch.agg import build_partials, tree_aggregate
+        top = regroup_sketch_rows(finest, []).collect()
+        assert len(top) == 1
+        assert bytes(top[0].sketch) == tree_aggregate(
+            build_partials(events, spec, ["props"]))
+
     def test_segmented_high_cardinality_exact(self, events):
         """One bottom-k sketch per user_id (high-cardinality group): exact
         regime => per-group distinct estimates equal count(DISTINCT)."""
