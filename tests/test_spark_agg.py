@@ -191,6 +191,37 @@ class TestGrouped:
         assert got == exact
 
 
+class TestKeyedLayerFind:
+    def test_per_key_blob_routing(self, spark):
+        """Each row probes the layered sketch selected by its key column;
+        keys without a blob get an empty hit list."""
+        from sparksketch.agg import (H2_SEED, with_keyed_layer_find)
+        from sparksketch.shape import Shape
+        from sparksketch.sketches import LayeredBloomFilter
+        shape = Shape.from_np(1000, 1e-9)
+        blobs = {}
+        import numpy as np
+        from pyspark.sql import functions as F2
+        items = {0: ["a", "b"], 1: ["b", "c"]}
+        for key, vals in items.items():
+            sk = LayeredBloomFilter(shape)
+            df1 = spark.createDataFrame([(v,) for v in vals], "v string")
+            hp = df1.select(F2.xxhash64("v").alias("h1"),
+                            F2.xxhash64(F2.lit(H2_SEED), "v").alias("h2")
+                            ).toPandas()
+            sk.add_hashes(np.full(len(hp), 7 + key),
+                          hp.h1.to_numpy(), hp.h2.to_numpy())
+            blobs[key] = sk.to_bytes()
+        probes = spark.createDataFrame(
+            [(0, "a"), (0, "c"), (1, "c"), (1, "a"), (2, "a")],
+            "stream bigint, v string")
+        got = {(r.stream, r.v): list(r.hits) for r in
+               with_keyed_layer_find(probes, blobs, "stream", ["v"],
+                                     out_col="hits").collect()}
+        assert got == {(0, "a"): [7], (0, "c"): [], (1, "c"): [8],
+                       (1, "a"): [], (2, "a"): []}
+
+
 class TestSemiJoin:
     def test_bloom_semijoin_matches_exact(self, spark, sf_dir):
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
