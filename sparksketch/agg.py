@@ -48,6 +48,22 @@ H2_SEED = 0xB10F  # literal mixed into the second xxhash64
 PARTIAL_SCHEMA = "pid long, sketch binary, rows long"
 
 
+def _norm_key(key) -> tuple:
+    """Normalize a pandas ``groupby(dropna=False)`` key to a stable tuple:
+    NaN/NaT/None all become ``None``.  Raw NaN keys are unusable as dict
+    keys across Arrow batches (``nan != nan`` defeats the hash lookup
+    unless pandas happens to hand back the same singleton) and unsortable
+    against strings."""
+    kt = key if isinstance(key, tuple) else (key,)
+    return tuple(None if v is None or v != v else v for v in kt)
+
+
+def _null_last(key: tuple) -> tuple:
+    """Sort key placing None group values last; never compares None with a
+    concrete value (nulls-last flag sorts first)."""
+    return tuple((1, "") if v is None else (0, v) for v in key)
+
+
 # --------------------------------------------------------------------------
 # Specs: how to prepare columns and feed batches into each sketch kind
 # --------------------------------------------------------------------------
@@ -571,8 +587,7 @@ def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
                 continue
             for key, sub in pdf.groupby(group_cols, sort=False,
                                         dropna=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
+                key = _norm_key(key)
                 ent = sks.get(key)
                 if ent is None:
                     ent = sks[key] = [spec.empty(), 0]
@@ -580,7 +595,7 @@ def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
                 ent[1] += len(sub)
         if sks:
             pid = TaskContext.get().partitionId()
-            keys = sorted(sks)  # canonical emit order
+            keys = sorted(sks, key=_null_last)  # canonical emit order
             data = {c: [k[i] for k in keys] for i, c in enumerate(group_cols)}
             data["sketch"] = [sks[k][0].to_bytes() for k in keys]
             data["rows"] = [sks[k][1] for k in keys]
@@ -600,8 +615,7 @@ def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
             # spans Arrow batch boundaries
             for key, sub in pdf.groupby(group_cols, sort=False,
                                         dropna=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
+                key = _norm_key(key)
                 ent = acc.get(key)
                 blobs = [bytes(b) for b in sub["sketch"]]
                 if ent is None:
@@ -611,7 +625,7 @@ def grouped_sketch_segmented(df: DataFrame, group_cols: Sequence[str],
                     ent[0] = merge_blob_list([ent[0], *blobs])
                     ent[1] += int(sub["rows"].sum())
         if acc:
-            keys = sorted(acc)
+            keys = sorted(acc, key=_null_last)
             data = {c: [k[i] for k in keys] for i, c in enumerate(group_cols)}
             data["sketch"] = [acc[k][0] for k in keys]
             data["rows"] = [acc[k][1] for k in keys]
@@ -644,8 +658,7 @@ def regroup_sketch_rows(grouped: DataFrame, group_cols: Sequence[str],
             it = (pdf.groupby(group_cols, sort=False, dropna=False)
                   if group_cols else [((), pdf)])
             for key, sub in it:
-                if not isinstance(key, tuple):
-                    key = (key,)
+                key = _norm_key(key)
                 ent = acc.get(key)
                 blobs = [bytes(b) for b in sub["sketch"]]
                 if ent is None:
@@ -655,7 +668,7 @@ def regroup_sketch_rows(grouped: DataFrame, group_cols: Sequence[str],
                     ent[0] = merge_blob_list([ent[0], *blobs])
                     ent[1] += int(sub["rows"].sum())
         if acc:
-            keys = sorted(acc)
+            keys = sorted(acc, key=_null_last)
             data = {c: [k[i] for k in keys]
                     for i, c in enumerate(group_cols)}
             data["sketch"] = [acc[k][0] for k in keys]
@@ -693,8 +706,9 @@ def grouped_sketch_cube(df: DataFrame, dims: Sequence[str],
     from pyspark import StorageLevel
     dims = list(dims)
     dtypes = dict(df.select(*dims).dtypes)
-    finest = (grouped_sketch_segmented(df, dims, spec, cols)
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    from .caching import track_cache
+    finest = track_cache(grouped_sketch_segmented(df, dims, spec, cols)
+                         .persist(StorageLevel.MEMORY_AND_DISK))
     frames = []
     for r in range(len(dims), -1, -1):
         for subset in combinations(dims, r):
@@ -751,17 +765,84 @@ def _cached_sketch(blob: bytes) -> Sketch:
     return sk
 
 
+# Large probe blobs ship as Spark broadcasts (one torrent fetch per
+# executor) instead of riding the UDF closure into every task; small ones
+# stay inline — a broadcast round-trip costs more than a KB closure.
+BLOB_BROADCAST_THRESHOLD = 4 << 20
+
+_PROBE_TOKEN_COUNTER = [0]
+
+# executor-side decode memo: token -> {"payload": ..., "sketches": {key: Sketch}}
+# Tokens are minted per driver-side probe call, so a memo hit means "same
+# probe op, later Arrow batch / task in the same worker" — decode happens
+# once per worker, not once per batch.
+_PROBE_MEMO: dict[str, dict] = {}
+
+
+def _mint_probe_token(tag: str) -> str:
+    _PROBE_TOKEN_COUNTER[0] += 1
+    return f"{tag}:{_PROBE_TOKEN_COUNTER[0]}"
+
+
+def _ship_blob(df: DataFrame, payload):
+    """Driver side: returns (token, bc, inline) — bc is a Broadcast when the
+    payload is large, else the payload ships inline in the closure."""
+    token = _mint_probe_token("probe")
+    nbytes = (len(payload) if isinstance(payload, (bytes, bytearray))
+              else sum(len(v) for v in payload.values()))
+    if nbytes >= BLOB_BROADCAST_THRESHOLD:
+        bc = df.sparkSession.sparkContext.broadcast(payload)
+        return token, bc, None
+    return token, None, payload
+
+
+def _probe_entry(token: str, bc, inline) -> dict:
+    """Executor side: memoized payload fetch (+ per-key sketch decode cache)."""
+    ent = _PROBE_MEMO.get(token)
+    if ent is None:
+        if len(_PROBE_MEMO) > 4:
+            _PROBE_MEMO.clear()
+        payload = bc.value if bc is not None else inline
+        ent = _PROBE_MEMO[token] = {"payload": payload, "sketches": {}}
+    return ent
+
+
+def _probe_sketch(token: str, bc, inline) -> Sketch:
+    ent = _probe_entry(token, bc, inline)
+    sk = ent["sketches"].get(None)
+    if sk is None:
+        sk = ent["sketches"][None] = sketch_from_bytes(ent["payload"])
+    return sk
+
+
+def _probe_keyed_sketch(token: str, bc, inline, key) -> Sketch | None:
+    """Lazy per-key decode: only keys actually present in a batch are ever
+    deserialized, and each at most once per worker."""
+    ent = _probe_entry(token, bc, inline)
+    sks = ent["sketches"]
+    if key in sks:
+        return sks[key]
+    blob = ent["payload"].get(key)
+    sk = sketch_from_bytes(blob) if blob is not None else None
+    sks[key] = sk
+    return sk
+
+
 def with_might_contain(df: DataFrame, blob: bytes,
                        cols: Sequence[str | Column],
                        out_col: str = "might_contain") -> DataFrame:
     """Adds a boolean membership column probing a broadcast Bloom-family
     sketch — Spark's bloom-semi-join pattern (cf. the engine-internal
     BloomFilterMightContain runtime filter), expressed as a vectorized
-    pandas UDF over JVM-computed hashes."""
+    pandas UDF over JVM-computed hashes.  Blobs above
+    ``BLOB_BROADCAST_THRESHOLD`` ship as a Spark broadcast with a
+    once-per-worker decode memo."""
+    token, bc, inline = _ship_blob(df, blob)
 
     @F.pandas_udf(BooleanType())
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        sk = _cached_sketch(blob)
+        sk = (_probe_sketch(token, bc, inline) if bc is not None
+              else _cached_sketch(inline))
         return pd.Series(sk.contains_hashes(h1.to_numpy(), h2.to_numpy()))
 
     return df.withColumn(
@@ -778,10 +859,12 @@ def with_layer_find(df: DataFrame, blob: bytes,
     the set of layer keys (e.g. time buckets) where the item occurred, so
     ``explode + groupBy(layer)`` counts per-layer distinct members without
     any driver-side materialization."""
+    token, bc, inline = _ship_blob(df, blob)
 
     @F.pandas_udf("array<long>")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        sk = _cached_sketch(blob)
+        sk = (_probe_sketch(token, bc, inline) if bc is not None
+              else _cached_sketch(inline))
         return pd.Series(sk.find_hashes(h1.to_numpy(), h2.to_numpy()))
 
     return df.withColumn(
@@ -792,19 +875,21 @@ def with_keyed_layer_find(df: DataFrame, blobs: dict,
                           key_col: str, cols: Sequence[str | Column],
                           out_col: str = "layers") -> DataFrame:
     """Per-row ``find`` against the layered sketch selected by the row's
-    ``key_col`` value (per-stream / per-tenant sketches): the whole dict
-    of KB-scale blobs broadcasts in the UDF closure, so probing N keyed
+    ``key_col`` value (per-stream / per-tenant sketches): probing N keyed
     sketches costs ONE job instead of N.  Rows with keys absent from
-    ``blobs`` get an empty array."""
+    ``blobs`` get an empty array.  The dict ships inline when small, as a
+    Spark broadcast when large; either way each key's blob is decoded
+    LAZILY — only if some batch actually probes that key — and at most
+    once per worker (not per Arrow batch)."""
+    token, bc, inline = _ship_blob(df, dict(blobs))
 
     @F.pandas_udf("array<long>")
     def probe(keys: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
-        sks = {k: sketch_from_bytes(b) for k, b in blobs.items()}
         kn, h1n, h2n = keys.to_numpy(), h1.to_numpy(), h2.to_numpy()
         out: list = [[]] * len(keys)
         for k in pd.unique(keys):
             mask = kn == k
-            sk = sks.get(k)
+            sk = _probe_keyed_sketch(token, bc, inline, k)
             if sk is None:
                 continue
             hits = sk.find_hashes(h1n[mask], h2n[mask])
@@ -896,10 +981,12 @@ def cms_lookup(df: DataFrame, blob: bytes,
                cols: Sequence[str | Column],
                out_col: str = "cms_count") -> DataFrame:
     """Adds an approximate-count column from a broadcast count-min sketch."""
+    token, bc, inline = _ship_blob(df, blob)
 
     @F.pandas_udf(LongType())
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        sk = _cached_sketch(blob)
+        sk = (_probe_sketch(token, bc, inline) if bc is not None
+              else _cached_sketch(inline))
         return pd.Series(sk.query_hashes(h1.to_numpy(), h2.to_numpy()))
 
     return df.withColumn(
@@ -948,7 +1035,9 @@ def fill_layered_build(df: DataFrame, shape: Shape, target_n: int,
         for pdf in batches:
             if not len(pdf):
                 continue
-            for val, sub in pdf.groupby("_stream", sort=False):
+            for val, sub in pdf.groupby("_stream", sort=False,
+                                        dropna=False):
+                (val,) = _norm_key(val)
                 sk = sks.get(val)
                 if sk is None:
                     sk = sks[val] = FillLayeredBloomFilter(
@@ -958,7 +1047,7 @@ def fill_layered_build(df: DataFrame, shape: Shape, target_n: int,
                                  sub["h2"].to_numpy())
                 rows[val] += len(sub)
         if sks:
-            keys = sorted(sks)
+            keys = sorted(sks, key=lambda v: _null_last((v,)))
             yield pd.DataFrame({
                 "stream": keys,
                 "sketch": [sks[k].as_layered().to_bytes() for k in keys],

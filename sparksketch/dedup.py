@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .caching import track_cache
 from .sketches.minhash import perm_seeds
 from .text import tokens_col
 
@@ -231,8 +232,9 @@ def fingerprint_overlap_pairs(fp_df: DataFrame, id_col: str,
     from pyspark import StorageLevel
     # persist: both join sides read `ex`, and without it the winnowing
     # UDF upstream evaluates once per side
-    ex = (fp_df.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    ex = track_cache(
+        fp_df.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     a = ex.select(F.col(id_col).alias("id_a"), "fp")
     b = ex.select(F.col(id_col).alias("id_b"), "fp")
     return (a.join(b, ["fp"])
@@ -297,6 +299,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         if changed == 0:
             sym.unpersist()
             return labels.select(F.col("node"), F.col("comp"))
+    sym.unpersist()
     raise RuntimeError(f"connected_components did not converge in "
                        f"{max_iter} rounds")
 
@@ -339,7 +342,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
     # both sides of the self-join read `banded`; without persist Catalyst
     # re-evaluates the SimHash vote UDF once PER SIDE (no exchange reuse
     # across a broadcast join) — persist makes it run once
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = track_cache(banded.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.key") == F.col("b.key"),
@@ -378,9 +381,10 @@ def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
     # bloat the plan past what codegen tolerates)
     bucket = _sign_code(_plane_dots(v, planes), n_planes)
     from pyspark import StorageLevel
-    base = (emb_df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"),
-                          bucket.alias("bucket"))
-            .persist(StorageLevel.MEMORY_AND_DISK))  # one bucket pass, not two
+    base = track_cache(  # one bucket pass, not two; caller releases
+        emb_df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"),
+                      bucket.alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = base.alias("a"), base.alias("b")
     cos = (F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
                                   lambda x, y: x * y),

@@ -63,6 +63,9 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     # ASCII tokens, then ONE whitespace byte, then raw RGB24
     tokens, pos, tok = [], 2, b""
     while len(tokens) < 3:
+        if pos >= len(payload):            # truncated header: fail fast —
+            raise ValueError(              # b"".isspace() is False, so the
+                "truncated PPM header")    # loop would otherwise never end
         c = payload[pos:pos + 1]
         pos += 1
         if c == b"#":                      # comment to end-of-line

@@ -43,36 +43,25 @@ from .sketches.stable import StableBloomFilter
 # 1. continuous stable dedup: applyInPandasWithState
 # ---------------------------------------------------------------------------
 
-def stable_dedup_stream(df: DataFrame, sshape: StableShape,
-                        cols: Sequence[str], key_col: str = "conv_id",
-                        order_cols: Sequence[str] = ("turn_idx",),
-                        seed: int = 42) -> DataFrame:
-    """Per-key continuous dedup over a (possibly streaming) DataFrame.
-
-    Output: ``(key, *order_cols, is_dup)`` — ``is_dup`` is the stable
-    filter's pre-insert membership ("seen recently", with decay), evaluated
-    in ``order_cols`` order within each micro-batch.  Group state =
-    (serialized filter, PRNG row), so the decrement stream continues
-    exactly where the previous batch left off."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    order_cols = list(order_cols)
-    key_t = dict(df.dtypes)[key_col]
-    order_t = dict(df.dtypes)
-    prepared = df.select(
-        F.col(key_col), *[F.col(c) for c in order_cols],
-        F.xxhash64(*cols).alias("h1"),
-        F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
-
-    out_schema = ", ".join(
-        [f"`{key_col}` {key_t}"]
-        + [f"`{c}` {order_t[c]}" for c in order_cols]
-        + ["is_dup boolean"])
-    state_schema = "sketch binary, rng_row long"
+def _make_stable_dedup_fn(sshape: StableShape, key_col: str,
+                          order_cols: list[str], seed: int,
+                          idle_timeout_ms: int | None):
+    """The per-group stateful function behind :func:`stable_dedup_stream`,
+    factored out so tests can drive the timeout/eviction path with a fake
+    ``GroupState``."""
 
     def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
-           state: GroupState) -> Iterator[pd.DataFrame]:
+           state) -> Iterator[pd.DataFrame]:
         from .hashing import hash_bytes64
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # Eviction = the key's decaying memory is dropped wholesale.
+            # Re-seed rule: a returning key restarts from the SAME
+            # deterministic key_seed (derived from the key alone, not from
+            # history), so replay determinism is preserved given the same
+            # batch boundaries — the filter simply forgets, which is the
+            # stable filter's own semantics taken to the idle limit.
+            state.remove()
+            return
         key_seed = seed ^ hash_bytes64(repr(key).encode())
         if state.exists:
             blob, rng_row = state.get
@@ -97,9 +86,55 @@ def stable_dedup_stream(df: DataFrame, sshape: StableShape,
             out["is_dup"] = flags
             yield out
         state.update((sk.to_bytes(), int(sk.prng.row)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
 
+    return fn
+
+
+def stable_dedup_stream(df: DataFrame, sshape: StableShape,
+                        cols: Sequence[str], key_col: str = "conv_id",
+                        order_cols: Sequence[str] = ("turn_idx",),
+                        seed: int = 42,
+                        idle_timeout_ms: int | None = None) -> DataFrame:
+    """Per-key continuous dedup over a (possibly streaming) DataFrame.
+
+    Output: ``(key, *order_cols, is_dup)`` — ``is_dup`` is the stable
+    filter's pre-insert membership ("seen recently", with decay), evaluated
+    in ``order_cols`` order within each micro-batch.  Group state =
+    (serialized filter, PRNG row), so the decrement stream continues
+    exactly where the previous batch left off.
+
+    ``idle_timeout_ms`` bounds the state store under unbounded key
+    cardinality: a key that receives no rows for that long has its
+    (sketch, prng) state row EVICTED via a processing-time timeout.  A
+    returning key re-seeds deterministically from (seed, key), i.e. it
+    restarts with an empty decaying memory — the documented trade: bounded
+    state for "forgets across long idle gaps", which is the stable filter's
+    own decay semantics at the idle limit.  ``None`` keeps state forever
+    (only safe for bounded key populations)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    order_cols = list(order_cols)
+    key_t = dict(df.dtypes)[key_col]
+    order_t = dict(df.dtypes)
+    prepared = df.select(
+        F.col(key_col), *[F.col(c) for c in order_cols],
+        F.xxhash64(*cols).alias("h1"),
+        F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
+
+    out_schema = ", ".join(
+        [f"`{key_col}` {key_t}"]
+        + [f"`{c}` {order_t[c]}" for c in order_cols]
+        + ["is_dup boolean"])
+    state_schema = "sketch binary, rng_row long"
+    fn = _make_stable_dedup_fn(sshape, key_col, order_cols, seed,
+                               idle_timeout_ms)
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return prepared.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+        fn, out_schema, state_schema, "append", timeout)
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +171,12 @@ class WindowedSketchState:
         self.watermark = watermark
         self.salt = salt
         self._max_seen_ts = None
+        # adopt pre-versioning state: the original layout was a bare
+        # 'windows' dir with no CURRENT pointer — without this, an upgrade
+        # would silently restart from empty state (and never GC the orphan)
+        legacy = os.path.join(self.state_dir, "windows")
+        if self._read_pointer() is None and os.path.isdir(legacy):
+            self._commit("windows")
         # crash-safe restart: the eviction horizon is persisted in the
         # pointer file alongside the live state version, so a new process
         # resumes with the same watermark high-mark
@@ -184,7 +225,8 @@ class WindowedSketchState:
     def _gc_old_versions(self, keep: str) -> None:
         import shutil
         for name in os.listdir(self.state_dir):
-            if name.startswith("windows_v") and name != keep:
+            if ((name.startswith("windows_v") or name == "windows")
+                    and name != keep):
                 shutil.rmtree(os.path.join(self.state_dir, name),
                               ignore_errors=True)
 

@@ -1,0 +1,236 @@
+"""Round-3 hardening tests: null group keys, truncated-PPM fail-fast,
+probe-blob broadcast + lazy keyed decode, cache-lifetime registry,
+streaming state eviction + legacy state-dir adoption."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+class TestNullGroupKeys:
+    """pandas groupby(dropna=False) yields NaN keys; the segmented /
+    regroup folds must treat them as a real NULL group, not crash on
+    nan-vs-str sorting (round-2 ADVICE, agg.py)."""
+
+    def _df(self, spark):
+        rows = ([("a", i) for i in range(20)]
+                + [(None, i) for i in range(7)]
+                + [("b", i) for i in range(12)])
+        return spark.createDataFrame(rows, "g string, v int").repartition(4)
+
+    def test_segmented_null_group(self, spark):
+        from sparksketch.agg import HLLSpec, grouped_sketch_segmented, \
+            with_sketch_estimate
+        out = grouped_sketch_segmented(self._df(spark), ["g"],
+                                       HLLSpec(p=12), ["v"])
+        got = {r["g"]: (r["rows"], round(r["estimate"]))
+               for r in with_sketch_estimate(out).collect()}
+        assert set(got) == {"a", "b", None}
+        assert got[None] == (7, 7)
+        assert got["a"] == (20, 20)
+
+    def test_segmented_matches_plain_grouped_with_nulls(self, spark):
+        from sparksketch.agg import HLLSpec, grouped_sketch, \
+            grouped_sketch_segmented
+        df = self._df(spark)
+        seg = {r["g"]: bytes(r["sketch"])
+               for r in grouped_sketch_segmented(df, ["g"], HLLSpec(p=12),
+                                                 ["v"]).collect()}
+        plain = {r["g"]: bytes(r["sketch"])
+                 for r in grouped_sketch(df, ["g"], HLLSpec(p=12),
+                                         ["v"]).collect()}
+        assert seg == plain  # byte-identical per group incl. the NULL group
+
+    def test_regroup_and_cube_with_nulls(self, spark):
+        from sparksketch.agg import HLLSpec, grouped_sketch_cube, \
+            grouped_sketch_segmented, regroup_sketch_rows
+        df = self._df(spark)
+        fine = grouped_sketch_segmented(df, ["g"], HLLSpec(p=12), ["v"])
+        glob = regroup_sketch_rows(fine, [], order_cols=["g"]).collect()
+        assert len(glob) == 1 and glob[0]["rows"] == 39
+        cube = grouped_sketch_cube(df, ["g"], HLLSpec(p=12), ["v"]).collect()
+        # data-null group and the CUBE total both appear (SQL CUBE shape
+        # conflates them into g IS NULL rows: one per grouping set)
+        assert sum(1 for r in cube if r["g"] is None) == 2
+
+
+class TestTruncatedPPM:
+    def test_truncated_header_raises(self):
+        from sparksketch.multimodal import decode_ppm
+        for payload in (b"P6", b"P6\n", b"P6\n12 12", b"P6\n# comment"):
+            with pytest.raises(ValueError):
+                decode_ppm(payload)
+
+    def test_roundtrip_still_ok(self):
+        from sparksketch.multimodal import decode_ppm, encode_ppm
+        px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        assert (decode_ppm(encode_ppm(px)) == px).all()
+
+
+class TestProbeBroadcast:
+    def test_broadcast_path_matches_closure_path(self, spark, monkeypatch):
+        import sparksketch.agg as agg
+        from sparksketch.agg import BloomSpec, build_partials, \
+            tree_aggregate, with_might_contain
+        from sparksketch.shape import Shape
+        df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+        spec = BloomSpec(Shape.from_np(500, 1e-8))
+        blob = tree_aggregate(build_partials(df, spec, ["k"]))
+        probe = spark.createDataFrame([(i,) for i in range(400)], "k long")
+        inline = with_might_contain(probe, blob, ["k"]).collect()
+        monkeypatch.setattr(agg, "BLOB_BROADCAST_THRESHOLD", 1)
+        bcast = with_might_contain(probe, blob, ["k"]).collect()
+        assert sorted(map(tuple, inline)) == sorted(map(tuple, bcast))
+        hits = {r["k"] for r in bcast if r["might_contain"]}
+        assert hits == set(range(200))
+
+    def test_keyed_lazy_decode_once_per_worker(self, monkeypatch):
+        import sparksketch.agg as agg
+        from sparksketch.agg import BloomSpec, _mint_probe_token, \
+            _probe_keyed_sketch
+        from sparksketch.shape import Shape
+        sk = BloomSpec(Shape.from_np(100, 1e-6)).empty()
+        blobs = {"x": sk.to_bytes(), "y": sk.to_bytes()}
+        calls = []
+        real = agg.sketch_from_bytes
+        monkeypatch.setattr(agg, "sketch_from_bytes",
+                            lambda b: (calls.append(1), real(b))[1])
+        token = _mint_probe_token("test")
+        # two batches probing the same key -> ONE decode
+        _probe_keyed_sketch(token, None, blobs, "x")
+        _probe_keyed_sketch(token, None, blobs, "x")
+        assert len(calls) == 1
+        # absent key -> no decode, memoized None
+        assert _probe_keyed_sketch(token, None, blobs, "zzz") is None
+        assert _probe_keyed_sketch(token, None, blobs, "zzz") is None
+        assert len(calls) == 1
+        _probe_keyed_sketch(token, None, blobs, "y")
+        assert len(calls) == 2
+
+
+class TestCacheRegistry:
+    def test_release_caches_unpersists(self, spark):
+        from sparksketch.caching import release_caches, track_cache
+        release_caches()
+        df = track_cache(spark.range(10).persist())
+        df.count()
+        assert df.storageLevel.useMemory
+        assert release_caches() == 1
+        assert not df.storageLevel.useMemory
+        assert release_caches() == 0
+
+    def test_simhash_caches_are_tracked(self, spark):
+        from sparksketch.caching import _LIVE_CACHES, release_caches
+        from sparksketch.dedup import simhash_near_dups
+        release_caches()
+        docs = spark.createDataFrame(
+            [(i, f"some words {i} here") for i in range(20)],
+            "doc_id long, text string")
+        simhash_near_dups(docs, "doc_id").collect()
+        assert len(_LIVE_CACHES) >= 1
+        assert release_caches() >= 1
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+class TestStableDedupEviction:
+    def _mk_fn(self, timeout):
+        from sparksketch.shape import Shape, StableShape
+        from sparksketch.streaming import _make_stable_dedup_fn
+        ss = StableShape.builder(Shape.from_np(500, 1e-4)).set_max(3).build()
+        return _make_stable_dedup_fn(ss, "conv_id", ["turn_idx"], 42, timeout)
+
+    def _batch(self, texts, start=0):
+        import pandas as pd
+        h = np.array([hash(t) & 0x7FFFFFFFFFFFFFFF for t in texts],
+                     dtype=np.int64)
+        return pd.DataFrame({
+            "conv_id": ["c"] * len(texts),
+            "turn_idx": np.arange(start, start + len(texts)),
+            "h1": h, "h2": h ^ 0x5DEECE66D})
+
+    def test_timeout_evicts_and_rearms(self):
+        fn = self._mk_fn(timeout=60_000)
+        st = _FakeGroupState()
+        out1 = list(fn(("c",), iter([self._batch(["a", "b", "a"])]), st))
+        assert list(out1[0]["is_dup"]) == [False, False, True]
+        assert st.exists and st.timeout_ms == 60_000
+        # idle expiry: fn is invoked with hasTimedOut and no rows
+        st.hasTimedOut = True
+        assert list(fn(("c",), iter([]), st)) == []
+        assert st.removed and not st.exists
+
+    def test_returning_key_reseeds_deterministically(self):
+        fn = self._mk_fn(timeout=60_000)
+        st1, st2 = _FakeGroupState(), _FakeGroupState()
+        out1 = list(fn(("c",), iter([self._batch(["a", "b"])]), st1))
+        # after eviction, the same first batch replays byte-identically
+        out2 = list(fn(("c",), iter([self._batch(["a", "b"])]), st2))
+        assert st1.get == st2.get
+        assert out1[0].equals(out2[0])
+
+    def test_no_timeout_never_arms(self):
+        fn = self._mk_fn(timeout=None)
+        st = _FakeGroupState()
+        list(fn(("c",), iter([self._batch(["a"])]), st))
+        assert st.timeout_ms is None
+
+
+class TestLegacyStateAdoption:
+    def test_unversioned_windows_dir_is_adopted(self, spark, tmp_path):
+        import datetime as dt
+        import shutil
+        from sparksketch.agg import BloomSpec
+        from sparksketch.shape import Shape
+        from sparksketch.streaming import WindowedSketchState
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "user_id long, ts timestamp, x string")
+
+        d = dt.datetime(2026, 3, 1)
+        wss = WindowedSketchState(BloomSpec(Shape.from_np(1000, 1e-6)),
+                                  ["user_id"], str(tmp_path), window="1 day")
+        wss.process_batch(mk([(u, d, "x") for u in range(10)]), 0)
+        expect = wss.snapshot(spark).collect()
+        # rewrite on-disk layout to the pre-versioning format: bare
+        # 'windows' dir, no CURRENT pointer
+        os.rename(tmp_path / "windows_v0", tmp_path / "windows")
+        os.remove(tmp_path / "CURRENT")
+        wss2 = WindowedSketchState(BloomSpec(Shape.from_np(1000, 1e-6)),
+                                   ["user_id"], str(tmp_path), window="1 day")
+        got = wss2.snapshot(spark).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+        # and a subsequent batch GCs the adopted legacy dir
+        wss2.process_batch(mk([(u, d, "y") for u in range(5)]), 7)
+        assert not (tmp_path / "windows").exists()
+        assert wss2.snapshot(spark).count() > 0
