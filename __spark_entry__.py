@@ -213,6 +213,35 @@ def q_kll_interturn_latency_quantiles(spark, sf_dir):
     return spark.createDataFrame(rows, "q double, delta_s double")
 
 
+def q_kll_grouped_fixedk_latency(spark, sf_dir):
+    """Per-conversation inter-turn latency p95 with a FIXED k=200 KLL per
+    group, built via the segmented two-stage path (round-2 VERDICT #6:
+    the bridge between the exact-regime demos and the fixed-k bound
+    gate).  This is the 100 TB plan shape for billions of groups: k never
+    scales with data, raw rows never shuffle (per-(partition, conv) KLL
+    partials inside mapInPandas; the single Exchange moves only KB-scale
+    sketch rows — asserted in tools/explain_plans.py), and quantiles are
+    extracted executor-side (with_sketch_quantile).  At gate scale every
+    conversation has far fewer than k deltas, so the fixed-k sketch is
+    exact per group and the oracle is per-conv quantile_cont."""
+    from pyspark.sql import Window
+    from sparksketch.agg import (KLLSpec, grouped_sketch_segmented,
+                                 with_sketch_quantile)
+    from sparksketch.transcripts import transcripts_from_events
+    _utc(spark)
+    tr = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    secs = F.col("ts").cast("timestamp").cast("double")
+    deltas = (tr.withColumn("delta_s", secs - F.lag(secs).over(w))
+              .filter(F.col("delta_s").isNotNull()))
+    per = grouped_sketch_segmented(deltas, ["conv_id"],
+                                   KLLSpec(k=200, col="delta_s"),
+                                   ["conv_id"])
+    return (with_sketch_quantile(per, 0.95, "p95")
+            .select("conv_id", F.round(F.col("p95"), 6).alias("p95_s"))
+            .orderBy("conv_id"))
+
+
 def q_bloom_conv_tool_membership(spark, sf_dir):
     """north_star-named workload: (conv_id, tool) pair membership via a
     distributed Bloom filter — positives are every observed pair, negatives
@@ -319,22 +348,26 @@ def q_layered_daily_distinct_users(spark, sf_dir):
     side never leaves the cluster: ``with_layer_find`` broadcasts the
     KB-scale layered blob, each probe row gets its array of matching day
     layers, and ``explode + groupBy(day)`` reduces to (day, count) — the
-    only rows the driver ever sees.  100TB-safe by construction."""
-    from pyspark import StorageLevel
+    only rows the driver ever sees.  100TB-safe by construction.
+
+    Cold-path budget (round-2 fix: an exact ``distinct().count()`` shuffle
+    wave just for SIZING was the latency bug): the shape is sized from a
+    JVM-side ``approx_count_distinct`` (HLL++, partial-agg, no Python
+    workers, no raw-row Exchange), margined 2.6x so the zero-FP regime
+    holds far past the estimator's rsd edge; the probe's ``distinct``
+    happens inside the probe job itself instead of a persisted prior
+    wave."""
     from sparksketch.agg import (LayeredBloomSpec, build_partials,
                                  tree_aggregate, with_layer_find)
     from sparksketch.shape import Shape
     _utc(spark)
     ev = _tbl(spark, sf_dir, "events").withColumn(
         "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long"))
-    # the user universe feeds BOTH the shape sizing count and the probe —
-    # persist so the distinct shuffle runs once
-    users = (ev.select("user_id").distinct()
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    n_users = users.count()
-    shape = Shape.from_np(max(2 * n_users, 1024), 1e-9)
+    n_users = ev.agg(F.approx_count_distinct("user_id", 0.02)).first()[0]
+    shape = Shape.from_np(max(int(2.6 * n_users), 1024), 1e-9)
     blob = tree_aggregate(build_partials(
         ev, LayeredBloomSpec(shape, layer_col="day"), ["user_id"]))
+    users = ev.select("user_id").distinct()
     return (with_layer_find(users, blob, ["user_id"], out_col="days")
             .select(F.explode("days").alias("day"))
             .groupBy("day")
@@ -649,16 +682,29 @@ def q_checkpoint_resume_distinct(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN (the 100TB scale path: probe n_probe of
-    n_centroids cells instead of scanning all rows).  Approximate by
-    design -> rows-only; recall is asserted on clustered fixtures in
-    tests/test_pipeline_ops.py."""
+    n_centroids cells instead of scanning all rows), VALUE-CHECKED on a
+    planted-separation corpus: 10 scaled copies of the query vector are
+    planted (cosine exactly 1.0 after round(5)), making the TRUE cosine
+    top-10 exactly the planted set — the near-orthogonal base corpus
+    cannot reach sim 1.0.  They quantize to the query's own max-cosine
+    cell, which n_probe >= 1 always probes, so the IVF result must equal
+    the brute-force result row-for-row — a literal SQL oracle, exercising
+    the k-means-refined quantizer (similarity.ivf_assign) end-to-end."""
     from sparksketch.similarity import ivf_topk
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = np.array(emb.filter(F.col("vec_id") == 0)
                  .select("embedding").first()[0], dtype=np.float64)
-    return (ivf_topk(emb.filter(F.col("vec_id") != 0), q, k=10,
-                     n_centroids=16, n_probe=4)
-            .select("vec_id", "sim"))
+    planted = spark.createDataFrame(
+        [(3_000_000 + i, (q * (1.1 + 0.1 * i)).tolist()) for i in range(10)],
+        "vec_id bigint, embedding array<double>")
+    base = (emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", F.transform("embedding",
+                                          lambda x: x.cast("double"))
+                    .alias("embedding"))
+            .unionByName(planted))
+    return (ivf_topk(base, q, k=10, n_centroids=16, n_probe=4)
+            .select("vec_id", "sim")
+            .orderBy("vec_id"))
 
 def q_ann_ivf_planted_recall(spark, sf_dir):
     """Value-checked IVF contract (the rows-only ann_ivf_topk shows the
@@ -853,35 +899,116 @@ def q_streaming_stable_dedup_flags(spark, sf_dir):
 
 
 def q_minhash_lsh_candidates(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs with signature jaccard."""
+    """MinHash+LSH candidate generation VALUE-CHECKED by its recall
+    contract (round-2 VERDICT: surface the superset gate as the query's
+    own oracle row-set): output = every TRUE >= 0.5-jaccard pair —
+    computed by the independent exact inverted-index join, a gate harness
+    pass, not the scale path — flagged ``covered`` = pair is in the LSH
+    candidate set (32 bands x 2 rows: P[share a band | j=0.5] ~ 0.9999).
+    The SQL oracle recomputes the true pairs with covered=true, so ANY
+    true pair the banding misses hash-mismatches the gate.
+    ``signature_jaccard`` scores the raw candidates on the way (the
+    operator surface this query demos)."""
     from pyspark import StorageLevel
-    from sparksketch.dedup import (lsh_candidate_pairs, minhash_signatures,
-                                   signature_jaccard)
+    from sparksketch.caching import track_cache
+    from sparksketch.dedup import (exact_jaccard_pairs, lsh_candidate_pairs,
+                                   minhash_signatures, signature_jaccard)
     docs = _tbl(spark, sf_dir, "documents")
-    # signatures feed banding AND both sides of the verification join —
-    # persist so the sig UDF runs once, not three times
-    sigs = (minhash_signatures(docs, "doc_id", n_perm=64, shingle_n=3)
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=4)
-    return signature_jaccard(sigs, pairs, "doc_id")
+    # signatures feed banding AND the scoring join — persist so the sig
+    # UDF runs once, not three times
+    sigs = track_cache(
+        minhash_signatures(docs, "doc_id", n_perm=64, shingle_n=3)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32, rows_per_band=2)
+    scored = signature_jaccard(sigs, cands, "doc_id")
+    truth = exact_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                                threshold=0.5)
+    return (truth.join(scored.select("id_a", "id_b",
+                                     F.lit(True).alias("covered")),
+                       ["id_a", "id_b"], "left")
+            .select("id_a", "id_b", "jaccard",
+                    F.coalesce("covered", F.lit(False)).alias("covered"))
+            .orderBy("id_a", "id_b"))
 
 
 def q_winnow_fingerprint_pairs(spark, sf_dir):
-    """Winnowing document fingerprints (Schleimer et al. 2003) + shared-
-    fingerprint candidate pairs (rows-only; the shared-run guarantee is
-    asserted in tests/test_pipeline_ops.py)."""
+    """Winnowing fingerprints (Schleimer et al. 2003) VALUE-CHECKED
+    against an independent exhaustive computation (round-2 VERDICT
+    superset-gate item): the inverted-index overlap join (the scale path)
+    must EQUAL all-pairs ``array_intersect >= min_shared`` over the same
+    fingerprint arrays (O(n^2) cross join: gate harness only).  Output
+    ties to SQL truth via the identical-text pair count (identical texts
+    => identical fingerprint sets => guaranteed in both sets)."""
+    from pyspark import StorageLevel
+    from sparksketch.caching import track_cache
     from sparksketch.dedup import (fingerprint_overlap_pairs,
                                    winnowed_fingerprints)
     docs = _tbl(spark, sf_dir, "documents")
-    fps = winnowed_fingerprints(docs, "doc_id", k=5, window=4)
-    return (fingerprint_overlap_pairs(fps, "doc_id", min_shared=2)
-            .select("id_a", "id_b", "shared"))
+    fps = track_cache(winnowed_fingerprints(docs, "doc_id", k=5, window=4)
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+    op = (fingerprint_overlap_pairs(fps, "doc_id", min_shared=2)
+          .select("id_a", "id_b")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    a = fps.select(F.col("doc_id").alias("id_a"),
+                   F.col("fingerprints").alias("_fa"))
+    b = fps.select(F.col("doc_id").alias("id_b"),
+                   F.col("fingerprints").alias("_fb"))
+    brute = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .filter(F.size(F.array_intersect("_fa", "_fb")) >= 2)
+             .select("id_a", "id_b"))
+    sym_diff = (op.join(brute, ["id_a", "id_b"], "left_anti").count()
+                + brute.join(op, ["id_a", "id_b"], "left_anti").count())
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.col("text").alias("_tb"))
+    identical = (op.join(ta, "id_a").join(tb, "id_b")
+                 .filter(F.col("_ta") == F.col("_tb")).count())
+    op.unpersist()
+    return spark.createDataFrame(
+        [(bool(sym_diff == 0), int(identical))],
+        "overlap_equals_brute boolean, identical_pairs bigint")
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    """Banded SimHash near-dups VALUE-CHECKED against an independent
+    exhaustive computation (round-2 VERDICT superset-gate item): the
+    banded+verified pair set at max_hamming=3 — where the 4x16-bit
+    pigeonhole guarantee is exact — must EQUAL the brute-force all-pairs
+    ``bit_count`` set over the same fingerprints (an O(n^2) cross join on
+    8-byte rows: gate harness, not the scale path).  Output ties to SQL
+    truth via the identical-text pair count (identical texts => hamming 0
+    => guaranteed in both sets)."""
+    from pyspark import StorageLevel
+    from sparksketch.caching import track_cache
     from sparksketch.dedup import simhash_near_dups
-    return simhash_near_dups(_tbl(spark, sf_dir, "documents"), "doc_id",
-                             max_hamming=6)
+    from sparksketch.text import simhash
+    docs = _tbl(spark, sf_dir, "documents")
+    sh = track_cache(simhash(docs, "doc_id", "text")
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs = (simhash_near_dups(docs, "doc_id", max_hamming=3, sh=sh)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    a = sh.select(F.col("doc_id").alias("id_a"),
+                  F.col("simhash").alias("_sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("simhash").alias("_shb"))
+    brute = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .filter(F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+                     <= 3)
+             .select("id_a", "id_b"))
+    p = pairs.select("id_a", "id_b")
+    sym_diff = (p.join(brute, ["id_a", "id_b"], "left_anti").count()
+                + brute.join(p, ["id_a", "id_b"], "left_anti").count())
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.col("text").alias("_tb"))
+    identical = (p.join(ta, "id_a").join(tb, "id_b")
+                 .filter(F.col("_ta") == F.col("_tb")).count())
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [(bool(sym_diff == 0), int(identical))],
+        "banded_equals_brute boolean, identical_pairs bigint")
 
 
 def q_simhash_exact_dup_recall(spark, sf_dir):
@@ -984,8 +1111,22 @@ def q_multimodal_audio_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _release_then(fn):
+    """Release the previous query's tracked operator caches before running
+    the next one — bounds executor storage-memory accumulation across a
+    long-lived session running the whole suite."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(spark, sf_dir):
+        from sparksketch.caching import release_caches
+        release_caches()
+        return fn(spark, sf_dir)
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _release_then(fn) for name, fn in {
         "bloom_semijoin_customers": q_bloom_semijoin_customers,
         "counting_subtract_members": q_counting_subtract_members,
         "kmv_distinct_convs": q_kmv_distinct_convs,
@@ -997,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_grouped_qty_quantiles": q_kll_grouped_qty_quantiles,
         "kll_fixedk_rank_bound": q_kll_fixedk_rank_bound,
         "kll_interturn_latency_quantiles": q_kll_interturn_latency_quantiles,
+        "kll_grouped_fixedk_latency": q_kll_grouped_fixedk_latency,
         "bloom_conv_tool_membership": q_bloom_conv_tool_membership,
         "tdigest_price_bound": q_tdigest_price_bound,
         "hll_distinct_users_bound": q_hll_distinct_users_bound,
@@ -1031,7 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_features": q_multimodal_audio_features,
-    }
+    }.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -1128,6 +1270,15 @@ HAVING count(*) >= greatest(CAST(floor(
                 f"SELECT CAST({q} AS DOUBLE) AS q, "
                 f"round(quantile_cont(delta_s, {q}), 6) AS delta_s "
                 f"FROM d WHERE delta_s IS NOT NULL" for q in QS),
+        "kll_grouped_fixedk_latency":
+            _TRANSCRIPTS_CTE + """
+, d AS (SELECT conv_id,
+               CAST(epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx)) AS DOUBLE)
+               AS delta_s
+        FROM t)
+SELECT conv_id, round(quantile_cont(delta_s, 0.95), 6) AS p95_s
+FROM d WHERE delta_s IS NOT NULL GROUP BY conv_id ORDER BY conv_id""",
         "bloom_conv_tool_membership":
             _TRANSCRIPTS_CTE + """
 , pos AS (SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL)
@@ -1250,6 +1401,37 @@ ORDER BY d.doc_id
 """,
         "ann_ivf_planted_recall":
             "SELECT true AS planted_recalled, CAST(5 AS BIGINT) AS n_found",
+        "ann_ivf_topk":
+            "SELECT CAST(3000000 + range AS BIGINT) AS vec_id, "
+            "CAST(1.0 AS DOUBLE) AS sim FROM range(0, 10) ORDER BY 1",
+        "minhash_lsh_candidates": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, greatest(len(w) - 2, 1) + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.c + sb.c - i), 6) AS jaccard,
+       true AS covered
+FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.c + sb.c - i) >= 0.5
+ORDER BY id_a, id_b
+""",
+        "simhash_near_dups":
+            "SELECT true AS banded_equals_brute, "
+            "CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) "
+            "AS identical_pairs FROM (SELECT count(*) AS c FROM documents "
+            "GROUP BY text HAVING count(*) > 1) s",
+        "winnow_fingerprint_pairs":
+            "SELECT true AS overlap_equals_brute, "
+            "CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) "
+            "AS identical_pairs FROM (SELECT count(*) AS c FROM documents "
+            "GROUP BY text HAVING count(*) > 1) s",
         "simhash_exact_dup_recall":
             "SELECT CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) "
             "AS identical_pairs FROM (SELECT count(*) AS c FROM documents "

@@ -723,6 +723,24 @@ def grouped_sketch_cube(df: DataFrame, dims: Sequence[str],
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def with_sketch_quantile(df: DataFrame, q: float,
+                         out_col: str = "quantile",
+                         sketch_col: str = "sketch") -> DataFrame:
+    """Adds each row's sketch ``quantile(q)`` (KLL / t-digest rows) as a
+    double — evaluated on the EXECUTORS, so billions of per-group quantile
+    sketches never ship blobs to the driver to read one number out of
+    each (the companion to :func:`with_sketch_estimate`)."""
+
+    @F.pandas_udf("double")
+    def quant(blobs: pd.Series) -> pd.Series:
+        out = np.empty(len(blobs), dtype=np.float64)
+        for i, b in enumerate(blobs):
+            out[i] = float(sketch_from_bytes(bytes(b)).quantile(q))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, quant(F.col(sketch_col)))
+
+
 def with_sketch_estimate(df: DataFrame, out_col: str = "estimate",
                          sketch_col: str = "sketch") -> DataFrame:
     """Adds each row's sketch estimate (distinct count for bottom-k/HLL/

@@ -322,15 +322,21 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 # -- SimHash near-dup -------------------------------------------------------
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      sh: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Candidate generation blocks on 16-bit bands of the 64-bit fingerprint
-    (pigeonhole: any pair within hamming 3 shares at least one of 4 bands),
-    then verifies with bit_count(xor) — all JVM expressions."""
+    (pigeonhole: any pair within hamming 3 shares at least one of 4 bands —
+    the recall guarantee holds for ``max_hamming <= 3``; higher thresholds
+    may miss pairs differing in every band), then verifies with
+    bit_count(xor) — all JVM expressions.  Pass a precomputed
+    ``sh = text.simhash(df, ...)`` frame to share the fingerprint pass
+    with other consumers."""
     from pyspark import StorageLevel
     from .text import simhash
-    sh = simhash(df, id_col, text_col)
+    if sh is None:
+        sh = simhash(df, id_col, text_col)
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[

@@ -129,23 +129,10 @@ def signlsh_topk(emb_df: DataFrame, query: np.ndarray, k: int = 10,
             .orderBy(F.desc("sim"), id_col).limit(k))
 
 
-def ivf_assign(emb_df: DataFrame, n_centroids: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               seed: int = 42, sample_n: int = 256) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantizer: centroids from a DETERMINISTIC sample (lowest
-    ``sample_n`` ids — ``orderBy`` before ``limit``, so the sample does not
-    depend on physical plan/partition order), then assign each vector to
-    its nearest centroid.  Assignment is an argmax over the centroid-dot
-    array (JVM literals at low dim, one matmul UDF at high dim).  Returns
-    (assigned_df with ``_cell`` column, centroids)."""
-    sample = np.array(
-        [r[0] for r in emb_df.select(_as_double(vec_col).alias("_v"),
-                                     F.col(id_col))
-         .orderBy(id_col).limit(sample_n).select("_v").collect()])
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
-                     replace=False)
-    cents = sample[idx]
+def _with_cell(emb_df: DataFrame, vec_col: str, cents: np.ndarray) -> DataFrame:
+    """Assign each vector to its max-cosine centroid: argmax over the
+    centroid-dot array (JVM literals at low dim, one matmul UDF at high
+    dim)."""
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
                             1e-12)
     v = _as_double(vec_col)
@@ -153,15 +140,91 @@ def ivf_assign(emb_df: DataFrame, n_centroids: int = 16,
     scores = [F.struct(dots_arr[i].alias("score"), F.lit(i).alias("cell"))
               for i in range(len(cents))]
     best = F.array_max(F.array(*scores))
-    return emb_df.withColumn("_cell", best["cell"]), cents
+    return emb_df.withColumn("_cell", best["cell"])
+
+
+def _kmeans_refine(emb_df: DataFrame, vec_col: str, cents: np.ndarray,
+                   n_iter: int = 1) -> np.ndarray:
+    """Lloyd refinement rounds, fully distributed: each round assigns
+    cells executor-side and reduces (cell, vector-sum, count) partials via
+    ``mapInPandas`` — the driver only ever sees O(partitions x centroids)
+    KB-scale rows, never data vectors.  Deterministic: partials merge in
+    sorted (cell, partition) order."""
+    dim = cents.shape[1]
+    for _ in range(max(n_iter, 0)):
+        prepared = (_with_cell(emb_df, vec_col, cents)
+                    .select(F.col("_cell"), _as_double(vec_col).alias("_v")))
+
+        def partials(batches):
+            from pyspark import TaskContext
+            acc: dict[int, list] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cells = pdf["_cell"].to_numpy()
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["_v"]])
+                for c in np.unique(cells):
+                    m = cells == c
+                    ent = acc.get(int(c))
+                    if ent is None:
+                        acc[int(c)] = [X[m].sum(axis=0), int(m.sum())]
+                    else:
+                        ent[0] += X[m].sum(axis=0)
+                        ent[1] += int(m.sum())
+            if acc:
+                pid = TaskContext.get().partitionId()
+                cells = sorted(acc)
+                yield pd.DataFrame({
+                    "pid": pid, "cell": cells,
+                    "vsum": [acc[c][0].tolist() for c in cells],
+                    "cnt": [acc[c][1] for c in cells]})
+
+        rows = prepared.mapInPandas(
+            partials, "pid long, cell long, vsum array<double>, cnt long"
+        ).collect()
+        sums: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["cell"], r["pid"])):
+            ent = sums.setdefault(int(r["cell"]), [np.zeros(dim), 0])
+            ent[0] += np.asarray(r["vsum"], dtype=np.float64)
+            ent[1] += int(r["cnt"])
+        cents = cents.copy()
+        for c, (s, n) in sums.items():
+            if n > 0:
+                cents[c] = s / n  # empty cells keep their old centroid
+    return cents
+
+
+def ivf_assign(emb_df: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42, sample_n: int = 256,
+               refine_iters: int = 1) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: initial centroids from a DETERMINISTIC
+    HASH-SPREAD sample (``orderBy(xxhash64(id), id)`` before ``limit`` —
+    spread across the whole id space rather than the first ``sample_n``
+    ids, and independent of physical plan/partition order), improved by
+    ``refine_iters`` distributed k-means (Lloyd) rounds, then each vector
+    assigned to its nearest centroid.  Returns (assigned_df with
+    ``_cell`` column, centroids)."""
+    sample = np.array(
+        [r[0] for r in emb_df.select(_as_double(vec_col).alias("_v"),
+                                     F.col(id_col))
+         .orderBy(F.xxhash64(F.col(id_col)), id_col)
+         .limit(sample_n).select("_v").collect()])
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cents = _kmeans_refine(emb_df, vec_col, sample[idx], refine_iters)
+    return _with_cell(emb_df, vec_col, cents), cents
 
 
 def ivf_topk(emb_df: DataFrame, query: np.ndarray, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 4,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, refine_iters: int = 1) -> DataFrame:
     """IVF ANN: search only the ``n_probe`` cells nearest the query."""
-    assigned, cents = ivf_assign(emb_df, n_centroids, id_col, vec_col, seed)
+    assigned, cents = ivf_assign(emb_df, n_centroids, id_col, vec_col, seed,
+                                 refine_iters=refine_iters)
     q = np.asarray(query, dtype=np.float64)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     probe = np.argsort(-(cn @ q))[:n_probe].tolist()

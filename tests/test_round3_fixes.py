@@ -136,6 +136,30 @@ class TestCacheRegistry:
         assert release_caches() >= 1
 
 
+class TestIVFKMeans:
+    def test_refined_centroids_lift_recall_on_clustered_data(self, spark):
+        from tests.test_pipeline_ops import _clustered_embeddings
+        from sparksketch.similarity import cosine_topk, ivf_topk
+        emb, centers = _clustered_embeddings(spark)
+        q = centers[3] * 1.02
+        truth = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+        ivf = {r.vec_id for r in
+               ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3,
+                        refine_iters=2).collect()}
+        # with Lloyd-refined centroids the quantizer recovers the true
+        # cluster structure: near-perfect recall, not just the >=7 the
+        # raw-sample quantizer manages
+        assert len(truth & ivf) >= 9
+
+    def test_refine_is_deterministic(self, spark):
+        from tests.test_pipeline_ops import _clustered_embeddings
+        from sparksketch.similarity import ivf_assign
+        emb, _ = _clustered_embeddings(spark, n_clusters=4, per_cluster=20)
+        _, c1 = ivf_assign(emb, n_centroids=4, refine_iters=2)
+        _, c2 = ivf_assign(emb, n_centroids=4, refine_iters=2)
+        assert (c1 == c2).all()
+
+
 class _FakeGroupState:
     def __init__(self):
         self._v = None

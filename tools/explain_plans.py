@@ -153,6 +153,28 @@ def main():
         f"probe plan must only shuffle for distinct + final agg, got {n_probe_ex}"
     print("PASS  layered find probe adds no probe-side shuffle")
 
+    # 7. grouped fixed-k KLL (per-conv latency p95, the billions-of-groups
+    # plan): raw rows shuffle exactly ONCE, for the inherent lag-window
+    # (delta computation) — between the two segmented mapInPandas stages
+    # only KB-scale sketch rows cross an Exchange; anything after stage 2
+    # moves (conv_id, p95) result rows
+    import __spark_entry__ as se
+    p7 = plan_of(se.q_kll_grouped_fixedk_latency(spark, SF))
+    print(p7)
+    ex7 = sorted(int(m) for m in re.findall(r"\bExchange \((\d+)\)", p7))
+    map7 = sorted(int(m) for m in re.findall(r"\bMapInPandas \((\d+)\)", p7))
+    win7 = sorted(int(m) for m in re.findall(r"\bWindow \((\d+)\)", p7))
+    assert len(map7) == 2, f"expected 2 segmented stages, got {map7}"
+    # every pre-build Exchange must feed a Window (the transcript
+    # turn-ordering + lag derivation); the build itself adds NO raw-row
+    # shuffle: nothing between the last Window and stage 1
+    assert win7 and not [e for e in ex7 if win7[-1] < e < map7[0]], \
+        "the partial build must not shuffle raw rows beyond the windows"
+    assert len([e for e in ex7 if map7[0] < e < map7[1]]) == 1, \
+        "exactly one sketch-row Exchange between segmented stages"
+    print("PASS  grouped fixed-k KLL shuffles raw rows only for the "
+          "lag window; sketch rows otherwise")
+
     spark.stop()
     print("\nALL PLAN CHECKS PASSED" if ok else "\nPLAN CHECKS FAILED")
     sys.exit(0 if ok else 1)
