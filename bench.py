@@ -194,13 +194,16 @@ def _ref_stack_baseline(n: int = 2_000_000) -> dict:
         return {}
 
 
-def _headline_queries(spark, sf_dir: str, reps: int = 2) -> dict:
+def _headline_queries(spark, sf_dir: str, reps: int = 2) -> tuple[dict, dict]:
     """sf-dir query latencies (the driver-graded suite).
 
     Each query is timed ``reps`` times and the BEST rep kept — the same
     steal-protection the build suite uses: this host's deliverable CPU
     drifts ~2x on a minutes timescale, and a single bad window otherwise
-    records a phantom 10x regression for whichever query it hits."""
+    records a phantom 10x regression for whichever query it hits.  Each
+    kept rep also records the host-steal%% it ran under, so a stolen
+    window is visible in the record instead of masquerading as a real
+    regression."""
     import __spark_entry__ as entry
     qs = entry.queries()
     headline = ["bloom_semijoin_customers", "kmv_distinct_convs",
@@ -210,16 +213,19 @@ def _headline_queries(spark, sf_dir: str, reps: int = 2) -> dict:
                 "ngram_jaccard_pairs", "ann_topk_cosine",
                 "minhash_lsh_candidates", "simhash_near_dups",
                 "stable_dedup_partitions", "grouped_conv_distinct_texts"]
-    out = {}
+    out, steal = {}, {}
     for _ in range(max(reps, 1)):
         for name in headline:
+            s0, j0 = _cpu_times()
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.monotonic() - t0, 3)
+            s1, j1 = _cpu_times()
             if name not in out or dt < out[name]:
                 out[name] = dt
-    return out
+                steal[name] = round(100.0 * (s1 - s0) / max(j1 - j0, 1), 1)
+    return out, steal
 
 
 def main() -> None:
@@ -235,7 +241,7 @@ def main() -> None:
     levels = [lo, hi] + ([CPUS] if CPUS not in (lo, hi) else [])
     reps: dict[int, list[tuple[float, float]]] = {c: [] for c in levels}
     cal: dict[int, list[float]] = {c: [] for c in levels}
-    queries = {}
+    queries, query_steal = {}, {}
     for rep in range(max(REPS, 1)):
         for cores in levels:
             spark = _session(cores)
@@ -243,7 +249,7 @@ def main() -> None:
             suite = _build_suite(spark, N_TURNS)
             reps[cores].append((suite["build_sec"], suite["steal_pct"]))
             if rep == max(REPS, 1) - 1 and cores == levels[-1]:
-                queries = _headline_queries(spark, SF_DIR)
+                queries, query_steal = _headline_queries(spark, SF_DIR)
             spark.stop()
             # calibrate the hardware in the SAME time window as the rep —
             # the host's deliverable CPU drifts on a minutes timescale
@@ -286,6 +292,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "query_steal_pct": query_steal,
         "throughput": {f"turns_per_sec_c{c}": thr[c] for c in levels},
         "scaling": scaling,
         "ref_stack_baseline": ref_base,
@@ -341,22 +348,23 @@ def main() -> None:
                     f"deliver {CPUS // hi}x the throughput of {hi} "
                     f"processes even on pure NumPy work).\n\n")
         if prev_queries:
-            f.write(f"| query | sec | prev (r{prev_round:02d}) | delta |\n"
-                    "|---|---|---|---|\n")
+            f.write(f"| query | sec | steal% | prev (r{prev_round:02d}) "
+                    "| delta |\n|---|---|---|---|---|\n")
             for k, v in sorted(queries.items()):
                 pv = prev_queries.get(k)
+                st = query_steal.get(k, "")
                 if pv:
                     pct = 100.0 * (v - pv) / pv
-                    f.write(f"| {k} | {v} | {pv} | {pct:+.0f}% |\n")
+                    f.write(f"| {k} | {v} | {st} | {pv} | {pct:+.0f}% |\n")
                 else:
-                    f.write(f"| {k} | {v} | new | — |\n")
+                    f.write(f"| {k} | {v} | {st} | new | — |\n")
             prev_total = sum(prev_queries.values())
             f.write(f"\nHeadline suite total: {total} sec "
                     f"(r{prev_round:02d}: {round(prev_total, 3)} sec)\n")
         else:
-            f.write("| query | sec |\n|---|---|\n")
+            f.write("| query | sec | steal% |\n|---|---|---|\n")
             for k, v in sorted(queries.items()):
-                f.write(f"| {k} | {v} |\n")
+                f.write(f"| {k} | {v} | {query_steal.get(k, '')} |\n")
             f.write(f"\nHeadline suite total: {total} sec\n")
         if ref_base:
             f.write(

@@ -125,9 +125,12 @@ class BloomSpec(SketchSpec):
 @dataclass(frozen=True)
 class CountingBloomSpec(SketchSpec):
     shape: Shape
+    # 16/32-bit saturating cells quarter/halve per-partial bytes at 100 TB
+    # scale (counting.py codec v2); 64 keeps the v1 golden wire format
+    cell_bits: int = 64
 
     def empty(self) -> Sketch:
-        return CountingBloomFilter(self.shape)
+        return CountingBloomFilter(self.shape, cell_bits=self.cell_bits)
 
     def update(self, sk, pdf) -> None:
         sk.add_hashes(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())

@@ -36,6 +36,7 @@ KIND_KLL = 8
 KIND_TDIGEST = 9
 KIND_BOTTOMK = 10
 KIND_MINHASH = 11
+KIND_COUNTING_V2 = 12  # narrow saturating cells (u16/i32); v1 = i64
 
 _REGISTRY: dict[int, Callable[[memoryview], "Sketch"]] = {}
 

@@ -1,8 +1,20 @@
 """Counting Bloom filter (commons-collections4 CountingBloomFilter contract;
-SURVEY.md Table B3).  Cell array of int64 counts; ``add`` increments the k
-cells per item, ``subtract`` decrements (supporting deletion); a validity flag
+SURVEY.md Table B3).  Cell array of counts; ``add`` increments the k cells
+per item, ``subtract`` decrements (supporting deletion); a validity flag
 trips on any cell underflow.  Merge = elementwise ``+`` — associative and
-commutative, so distributed merges are byte-identical."""
+commutative, so distributed merges are byte-identical.
+
+Two wire codecs:
+
+- **v1** (``cell_bits=64``, default): int64 cells, byte layout unchanged
+  from round 1 (golden-tested).
+- **v2** (``cell_bits=16`` or ``32``): saturating narrow cells — a 100 TB
+  build ships m x 2 bytes per partial instead of m x 8.  Saturating add
+  (clamp at the dtype cap) is still associative+commutative over
+  non-negative counts (min(a+b+c, cap) regardless of order), so merges
+  stay byte-identical; ``subtract`` through a saturated cell is the
+  documented approximation (the true count was lost at the cap), matching
+  the small-cell counting-filter trade-off."""
 
 from __future__ import annotations
 
@@ -12,21 +24,33 @@ import numpy as np
 
 from ..hashing import edh_indices
 from ..shape import Shape
-from .base import KIND_COUNTING, Sketch, pack_header, register
+from .base import (KIND_COUNTING, KIND_COUNTING_V2, Sketch,
+                   pack_header, register)
 
 _HDR = struct.Struct("<QIB")
+_HDR2 = struct.Struct("<QIBB")
+_CELL_CODECS = {16: ("<u2", (1 << 16) - 1), 32: ("<i4", (1 << 31) - 1),
+                64: ("<i8", None)}
 
 
 class CountingBloomFilter(Sketch):
     KIND = KIND_COUNTING
 
     def __init__(self, shape: Shape, cells: np.ndarray | None = None,
-                 valid: bool = True) -> None:
+                 valid: bool = True, cell_bits: int = 64) -> None:
+        if cell_bits not in _CELL_CODECS:
+            raise ValueError(f"cell_bits must be one of {set(_CELL_CODECS)}")
         self.shape = shape
         if cells is None:
             cells = np.zeros(shape.m, dtype=np.int64)
         self.cells = cells
         self.valid = valid
+        self.cell_bits = cell_bits
+        self._cap = _CELL_CODECS[cell_bits][1]
+
+    def _saturate(self) -> None:
+        if self._cap is not None:
+            np.minimum(self.cells, self._cap, out=self.cells)
 
     def _matrix_counts(self, idx: np.ndarray) -> np.ndarray:
         """Aggregate an (items x k) index matrix into per-cell counts with
@@ -60,6 +84,7 @@ class CountingBloomFilter(Sketch):
         if len(h1) == 0:
             return
         self.cells += self._unique_idx_counts(h1, h2)
+        self._saturate()
 
     def subtract_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
         if len(h1) == 0:
@@ -72,6 +97,7 @@ class CountingBloomFilter(Sketch):
         """commons ``merge(Hasher)``/``add`` with explicit per-item index
         arrays (dups allowed, deduped per item)."""
         self.cells += self._rows_counts(rows)
+        self._saturate()
 
     def subtract_index_rows(self, rows) -> None:
         """commons ``remove(Hasher)``/``subtract`` — underflow trips the
@@ -83,7 +109,10 @@ class CountingBloomFilter(Sketch):
     def merge(self, other: Sketch) -> None:
         if not isinstance(other, CountingBloomFilter) or other.shape != self.shape:
             raise ValueError("shape mismatch in counting merge")
+        if other.cell_bits != self.cell_bits:
+            raise ValueError("cell-width mismatch in counting merge")
         self.cells += other.cells
+        self._saturate()
         self.valid = self.valid and other.valid
 
     def subtract(self, other: "CountingBloomFilter") -> None:
@@ -107,9 +136,16 @@ class CountingBloomFilter(Sketch):
         return self.shape.estimate_n(self.cardinality())
 
     def to_bytes(self) -> bytes:
-        return (pack_header(self.KIND)
-                + _HDR.pack(self.shape.m, self.shape.k, 1 if self.valid else 0)
-                + self.cells.astype("<i8", copy=False).tobytes())
+        if self.cell_bits == 64:  # v1 wire bytes, golden-stable
+            return (pack_header(self.KIND)
+                    + _HDR.pack(self.shape.m, self.shape.k,
+                                1 if self.valid else 0)
+                    + self.cells.astype("<i8", copy=False).tobytes())
+        dtype = _CELL_CODECS[self.cell_bits][0]
+        return (pack_header(KIND_COUNTING_V2)
+                + _HDR2.pack(self.shape.m, self.shape.k,
+                             1 if self.valid else 0, self.cell_bits)
+                + self.cells.astype(dtype, copy=False).tobytes())
 
     @staticmethod
     def _decode(body: memoryview) -> "CountingBloomFilter":
@@ -117,5 +153,15 @@ class CountingBloomFilter(Sketch):
         cells = np.frombuffer(body[_HDR.size:], dtype="<i8", count=m).copy()
         return CountingBloomFilter(Shape(m=int(m), k=int(k)), cells, bool(valid))
 
+    @staticmethod
+    def _decode_v2(body: memoryview) -> "CountingBloomFilter":
+        m, k, valid, bits = _HDR2.unpack_from(body, 0)
+        dtype = _CELL_CODECS[int(bits)][0]
+        cells = np.frombuffer(body[_HDR2.size:], dtype=dtype,
+                              count=m).astype(np.int64)
+        return CountingBloomFilter(Shape(m=int(m), k=int(k)), cells,
+                                   bool(valid), cell_bits=int(bits))
+
 
 register(KIND_COUNTING, CountingBloomFilter._decode)
+register(KIND_COUNTING_V2, CountingBloomFilter._decode_v2)

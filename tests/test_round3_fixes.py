@@ -136,6 +136,103 @@ class TestCacheRegistry:
         assert release_caches() >= 1
 
 
+class TestCountingCodecV2:
+    """Narrow saturating counting cells (round-2 VERDICT #7): u16/i32 wire
+    codec alongside the golden-stable int64 v1."""
+
+    GOLDEN = {  # add_index_rows([[0,3],[3,7],[3,3]]) on Shape(m=8,k=2)
+        64: "534b5331010300000800000000000000020000000101000000000000000"
+            "00000000000000000000000000000000300000000000000000000000000"
+            "0000000000000000000000000000000000000100000000000000",
+        16: "534b5331010c00000800000000000000020000000110010000000000"
+            "03000000000000000100",
+        32: "534b5331010c0000080000000000000002000000012001000000000000"
+            "00000000000300000000000000000000000000000001000000",
+    }
+
+    def _mk(self, bits):
+        from sparksketch.shape import Shape
+        from sparksketch.sketches.counting import CountingBloomFilter
+        f = CountingBloomFilter(Shape(m=8, k=2), cell_bits=bits)
+        f.add_index_rows([[0, 3], [3, 7], [3, 3]])
+        return f
+
+    @pytest.mark.parametrize("bits", [64, 16, 32])
+    def test_byte_golden_and_roundtrip(self, bits):
+        from sparksketch.sketches import sketch_from_bytes
+        f = self._mk(bits)
+        blob = f.to_bytes()
+        assert blob.hex() == self.GOLDEN[bits]
+        g = sketch_from_bytes(blob)
+        assert (g.cells == f.cells).all()
+        assert g.cell_bits == bits and g.valid
+        assert g.to_bytes() == blob
+
+    def test_partial_size_quarter(self):
+        from sparksketch.agg import CountingBloomSpec
+        from sparksketch.shape import Shape
+        shape = Shape.from_np(100_000, 1e-6)
+        v1 = CountingBloomSpec(shape).est_bytes()
+        v2 = CountingBloomSpec(shape, cell_bits=16).est_bytes()
+        assert v2 <= v1 / 4 + 64
+
+    def test_saturating_merge_is_associative(self):
+        import copy
+        import numpy as np
+        from sparksketch.shape import Shape
+        from sparksketch.sketches.counting import CountingBloomFilter
+        sh = Shape(m=16, k=2)
+        parts = [CountingBloomFilter(
+            sh, cells=np.full(16, v, dtype=np.int64), cell_bits=16)
+            for v in (65530, 10, 7)]
+        orders = [(0, 1, 2), (2, 0, 1), (1, 2, 0)]
+        blobs = []
+        for o in orders:
+            acc = copy.deepcopy(parts[o[0]])
+            acc.merge(copy.deepcopy(parts[o[1]]))
+            acc.merge(copy.deepcopy(parts[o[2]]))
+            blobs.append(acc.to_bytes())
+        assert blobs[0] == blobs[1] == blobs[2]
+        assert (copy.deepcopy(parts[0]).cells <= 65535).all()
+
+    def test_add_saturates_and_underflow_trips_validity(self):
+        import numpy as np
+        from sparksketch.shape import Shape
+        from sparksketch.sketches.counting import CountingBloomFilter
+        sh = Shape(m=4, k=1)
+        f = CountingBloomFilter(sh, cells=np.array([65535, 1, 0, 0],
+                                                   dtype=np.int64),
+                                cell_bits=16)
+        f.add_index_rows([[0]])
+        assert f.cells[0] == 65535  # clamped, no wraparound
+        f.subtract_index_rows([[2]])
+        assert not f.valid
+
+    def test_mixed_width_merge_rejected(self):
+        from sparksketch.shape import Shape
+        from sparksketch.sketches.counting import CountingBloomFilter
+        sh = Shape(m=8, k=2)
+        with pytest.raises(ValueError, match="cell-width"):
+            CountingBloomFilter(sh, cell_bits=16).merge(
+                CountingBloomFilter(sh, cell_bits=64))
+
+    def test_distributed_build_v2_matches_v1_counts(self, spark):
+        from sparksketch.agg import (CountingBloomSpec, build_partials,
+                                     tree_aggregate)
+        from sparksketch.shape import Shape
+        from sparksketch.sketches import sketch_from_bytes
+        df = spark.createDataFrame([(i % 50,) for i in range(500)], "k long")
+        shape = Shape.from_np(200, 1e-6)
+        b1 = tree_aggregate(build_partials(
+            df.repartition(4), CountingBloomSpec(shape), ["k"]))
+        b2 = tree_aggregate(build_partials(
+            df.repartition(4), CountingBloomSpec(shape, cell_bits=16),
+            ["k"]))
+        assert len(b2) < len(b1) / 3
+        assert (sketch_from_bytes(b1).cells
+                == sketch_from_bytes(b2).cells).all()
+
+
 class TestIVFKMeans:
     def test_refined_centroids_lift_recall_on_clustered_data(self, spark):
         from tests.test_pipeline_ops import _clustered_embeddings
