@@ -5,16 +5,18 @@ columns with typed metadata, processed by Arrow-batched pandas UDFs over
 Decode support has three tiers:
 
 1. **Real decoders, no codec libraries needed** — implemented here in pure
-   NumPy against the public format specs: PPM ``P6`` images (netpbm:
-   ASCII header + raw RGB24) and WAV PCM audio (RIFF: chunked header +
-   little-endian PCM samples).  ``synthesize_media`` emits genuine P6/WAV
-   payloads, so the image/audio pipelines run END-TO-END with real
+   NumPy against the public format specs: baseline JPEG/JFIF (ITU T.81 —
+   Huffman + DCT + 4:2:0, see ``sparksketch/jpeg.py``), PPM ``P6`` images
+   (netpbm: ASCII header + raw RGB24) and WAV PCM audio (RIFF: chunked
+   header + little-endian PCM samples).  ``synthesize_media`` emits
+   genuine P6/WAV payloads and the JPEG round-trip query emits genuine
+   JFIF bytes, so the image/audio pipelines run END-TO-END with real
    decoding in this environment.
-2. **Stubbed decoders** — JPEG/PNG/MP4 etc. need Pillow/ffmpeg, which are
-   not installed here; those mimes raise ``NotImplementedError`` unless
-   ``fake=True`` (deterministic fake pixels seeded from the payload hash)
-   so the distributed plumbing stays testable.  Swapping in a real codec
-   is a one-function change.
+2. **Stubbed decoders** — PNG/MP4/progressive-JPEG etc. would need
+   Pillow/ffmpeg, which are not installed here; those mimes raise
+   ``NotImplementedError`` unless ``fake=True`` (deterministic fake
+   pixels seeded from the payload hash) so the distributed plumbing
+   stays testable.  Swapping in a real codec is a one-function change.
 3. **Video** — frame sampling is tier 2 only (no container parser worth
    hand-rolling); the Arrow batch shape and output schema are the
    production contract.
@@ -41,6 +43,7 @@ MEDIA_SCHEMA = StructType([
 ])
 
 MIME_PPM = "image/x-portable-pixmap"
+MIME_JPEG = "image/jpeg"
 MIME_WAV = "audio/wav"
 
 
@@ -179,16 +182,21 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
 
 def decode_image(payload: bytes, mime: str | None = None,
                  fake: bool = False) -> np.ndarray:
-    """P6 PPM decodes for real (pure NumPy).  Other image mimes need a
-    codec library that is not installed here: ``fake=True`` substitutes
-    deterministic fake pixels so the distributed pipeline stays testable;
-    otherwise NotImplementedError."""
+    """P6 PPM and baseline JPEG decode for real (pure NumPy — see
+    sparksketch/jpeg.py for the JFIF implementation).  Other image mimes
+    need a codec library that is not installed here: ``fake=True``
+    substitutes deterministic fake pixels so the distributed pipeline
+    stays testable; otherwise NotImplementedError."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            f"no codec for mime={mime!r} in this environment (only P6 PPM "
-            "is natively decodable); pass fake=True or plug a decoder here")
+            f"no codec for mime={mime!r} in this environment (P6 PPM and "
+            "baseline JPEG are natively decodable); pass fake=True or "
+            "plug a decoder here")
     return _fake_pixels(payload, 48, 64)
 
 
@@ -219,6 +227,44 @@ def image_features(df: DataFrame, fake: bool = False,
     return (df.filter(F.col("kind") == "image")
               .select("media_id", "payload", "mime")
               .mapInPandas(fn, schema=out_schema))
+
+
+def jpeg_roundtrip_features(spark, n: int = 48,
+                            partitions: int = 4) -> DataFrame:
+    """Distributed baseline-JPEG encode -> decode round-trip over REAL
+    JFIF bytes (sparksketch/jpeg.py): each task synthesizes a smooth
+    analytic gradient per media_id, encodes it (alternating 4:4:4 and
+    4:2:0 chroma sampling), decodes the bytes back, and reports the error
+    against the analytic pixels.  The gradient stays linear (no %-wrap
+    edges), so quantization error at quality 90 is sub-LSB on the mean —
+    ``mean_err_ok`` bounds mean abs error <= 1.0 and max <= 16 (chroma
+    subsampling on color gradients), an accuracy contract a codec stub
+    could not fake."""
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("media_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg, encode_jpeg
+        y = np.arange(48)[:, None, None]
+        x = np.arange(64)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                px = np.clip(int(mid) % 16 + y * 2 + x + c * 40,
+                             0, 255).astype(np.uint8)
+                blob = encode_jpeg(px, quality=90,
+                                   subsample=bool(int(mid) % 2))
+                out = decode_jpeg(blob)
+                err = np.abs(out.astype(np.float64) - px.astype(np.float64))
+                rows.append((mid, len(blob), out.shape == px.shape,
+                             bool(err.mean() <= 1.0 and err.max() <= 16)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "jpeg_bytes", "shape_ok", "mean_err_ok"])
+
+    return base.mapInPandas(
+        fn, schema="media_id long, jpeg_bytes long, shape_ok boolean, "
+                   "mean_err_ok boolean")
 
 
 def audio_features(df: DataFrame) -> DataFrame:

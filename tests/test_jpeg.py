@@ -1,0 +1,114 @@
+"""Pure-NumPy baseline JPEG codec (sparksketch/jpeg.py): round-trip
+accuracy, 4:2:0 subsampling, marker/structure validity, malformed-input
+fail-fast, and the distributed round-trip pipeline."""
+
+import numpy as np
+import pytest
+
+from sparksketch.jpeg import ZIGZAG, decode_jpeg, encode_jpeg
+
+
+def _gradient(h=48, w=64, offset=0):
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    return np.clip(offset + y * 2 + x + c * 40, 0, 255).astype(np.uint8)
+
+
+class TestCodec:
+    def test_zigzag_is_a_permutation(self):
+        assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+    @pytest.mark.parametrize("subsample", [False, True])
+    def test_gradient_roundtrip_tight(self, subsample):
+        px = _gradient()
+        out = decode_jpeg(encode_jpeg(px, quality=90, subsample=subsample))
+        err = np.abs(out.astype(float) - px.astype(float))
+        assert out.shape == px.shape
+        assert err.mean() <= 1.0
+        assert err.max() <= 16
+
+    def test_flat_image_is_exact(self):
+        px = np.full((16, 24, 3), 77, dtype=np.uint8)
+        assert (decode_jpeg(encode_jpeg(px, 85)) == px).all()
+
+    def test_odd_dimensions(self):
+        px = _gradient(19, 21)
+        out = decode_jpeg(encode_jpeg(px, quality=90, subsample=True))
+        assert out.shape == (19, 21, 3)
+        assert np.abs(out.astype(float) - px).mean() <= 2.0
+
+    def test_noise_bounded_error_high_quality(self):
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=95))
+        # noise is the worst case for DCT coding; at q95 the luma error
+        # stays small and chroma bounded by its coarser quant table
+        assert np.abs(out.astype(float) - px.astype(float)).mean() <= 12
+
+    def test_deterministic_bytes(self):
+        px = _gradient()
+        assert encode_jpeg(px, 85) == encode_jpeg(px, 85)
+
+    def test_structure_markers(self):
+        blob = encode_jpeg(_gradient(), 85)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in blob[:32]
+
+    def test_quality_monotonic_size(self):
+        px = np.random.default_rng(1).integers(
+            0, 256, size=(32, 32, 3), dtype=np.uint8)
+        sizes = [len(encode_jpeg(px, q)) for q in (30, 60, 90)]
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_malformed_inputs_fail_fast(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+        blob = encode_jpeg(_gradient(16, 16), 85)
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:len(blob) // 2])  # truncated mid-stream
+
+    def test_progressive_sof_rejected_not_garbled(self):
+        blob = bytearray(encode_jpeg(_gradient(16, 16), 85))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(blob))
+
+
+class TestDispatchAndPipeline:
+    pytestmark = pytest.mark.spark
+
+    def test_decode_image_dispatches_jpeg(self):
+        from sparksketch.multimodal import decode_image
+        px = _gradient()
+        out = decode_image(encode_jpeg(px, 95), "image/jpeg")
+        assert np.abs(out.astype(float) - px).mean() <= 0.5
+
+    def test_distributed_roundtrip_all_ok(self, spark):
+        from sparksketch.multimodal import jpeg_roundtrip_features
+        rows = jpeg_roundtrip_features(spark, n=12, partitions=3).collect()
+        assert len(rows) == 12
+        assert all(r.shape_ok and r.mean_err_ok for r in rows)
+        assert all(r.jpeg_bytes > 100 for r in rows)
+
+    def test_image_features_on_jpeg_payloads(self, spark):
+        """image_features runs unchanged on a JPEG media table — the
+        decode dispatch makes the pipeline codec-agnostic."""
+        import pandas as pd
+        from sparksketch.multimodal import image_features
+        pdf = pd.DataFrame({
+            "media_id": [1, 2],
+            "kind": ["image", "image"],
+            "payload": [encode_jpeg(_gradient(offset=i), 95)
+                        for i in (0, 8)],
+            "mime": ["image/jpeg", "image/jpeg"],
+        })
+        df = spark.createDataFrame(pdf)
+        got = {r.media_id: r for r in image_features(df).collect()}
+        for i, mid in ((0, 1), (8, 2)):
+            want = _gradient(offset=i).astype(np.float64)
+            assert abs(got[mid].mean_r - want[..., 0].mean()) <= 1.0
+            assert abs(got[mid].mean_g - want[..., 1].mean()) <= 1.0
