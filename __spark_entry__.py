@@ -1105,6 +1105,42 @@ def q_multimodal_jpeg_roundtrip(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def q_multimodal_video_frame_means(spark, sf_dir):
+    """REAL video pipeline end-to-end (closes the round-2 video-stub
+    gap): synthesize_media emits genuine RIFF/AVI MJPEG payloads;
+    sample_video_frames walks the container and returns each sampled
+    frame's baseline-JPEG bytes; this query then decodes every sampled
+    frame and bound-checks its channel means against the analytic
+    per-frame gradient (base = media_id%16 + frame*8; channel mean =
+    base + 22.5 + 40c on the 16x16 canvas).  Frame indices/timestamps
+    (every 200 ms of a 5-frame 10 fps clip -> frames 0, 2, 4) are exact
+    oracle values."""
+    from typing import Iterator as _It
+    import pandas as _pd
+    from sparksketch.multimodal import sample_video_frames, synthesize_media
+    media = synthesize_media(spark, n=64)
+    frames = sample_video_frames(media, every_ms=200)
+
+    def fn(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from sparksketch.jpeg import decode_jpeg
+        for pdf in batches:
+            rows = []
+            for mid, idx, ts, blob in zip(pdf["media_id"], pdf["frame_idx"],
+                                          pdf["ts_ms"], pdf["frame"]):
+                px = decode_jpeg(bytes(blob)).astype(np.float64)
+                base = int(mid) % 16 + int(idx) * 8
+                ok = all(abs(px[..., c].mean() - (base + 22.5 + 40 * c))
+                         <= 1.0 for c in range(3))
+                rows.append((mid, idx, ts, bool(ok)))
+            yield _pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                               "ts_ms", "means_ok"])
+
+    return (frames.mapInPandas(
+                fn, schema="media_id long, frame_idx int, ts_ms int, "
+                           "means_ok boolean")
+            .orderBy("media_id", "frame_idx"))
+
+
 def q_multimodal_audio_features(spark, sf_dir):
     """Multimodal audio pipeline with a REAL codec end-to-end: payloads
     are genuine RIFF/WAV PCM16 (pure-NumPy chunk parser), features via
@@ -1187,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
+        "multimodal_video_frame_means": q_multimodal_video_frame_means,
         "multimodal_audio_features": q_multimodal_audio_features,
     }.items()}
 
@@ -1488,6 +1525,12 @@ FROM m, yy, xx GROUP BY 1 ORDER BY 1
         "multimodal_jpeg_roundtrip":
             "SELECT range AS media_id, true AS shape_ok, "
             "true AS mean_err_ok FROM range(0, 48) ORDER BY 1",
+        "multimodal_video_frame_means":
+            "SELECT m.media_id, CAST(f.idx AS INT) AS frame_idx, "
+            "CAST(f.idx * 100 AS INT) AS ts_ms, true AS means_ok "
+            "FROM (SELECT range AS media_id FROM range(0, 64) "
+            "WHERE range % 3 = 2) m, (VALUES (0), (2), (4)) f(idx) "
+            "ORDER BY 1, 2",
         "multimodal_audio_features":
             "SELECT range AS media_id, CAST(1600 AS BIGINT) AS n_samples, "
             "CAST(16000 AS BIGINT) AS sample_rate, true AS freq_ok, "

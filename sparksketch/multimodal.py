@@ -124,13 +124,90 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# video: MJPEG-in-AVI (RIFF container walk + per-frame baseline JPEG)
+# ---------------------------------------------------------------------------
+
+MIME_MJPEG_AVI = "video/x-msvideo"
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """List of (h, w, 3) uint8 frames -> minimal RIFF AVI with MJPG video
+    chunks ('00dc' = baseline JPEG per frame) — the public AVI 1.0 layout:
+    RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    00dc...)).  Every field written here is read back by
+    :func:`decode_avi_mjpeg`; standard players read the result too."""
+    import struct
+    from .jpeg import encode_jpeg
+    frames = list(frames)
+    if not frames:
+        raise ValueError("no frames")
+    h, w, _ = frames[0].shape
+    blobs = [encode_jpeg(f, quality=90) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack("<14I", usec, 0, 0, 0x10, len(frames), 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0,
+                       0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """RIFF AVI (MJPG) -> (list of JPEG frame payloads, usec_per_frame).
+
+    Chunk-walking parser like :func:`decode_wav`: finds the 'movi' LIST
+    and collects the '00dc'/'00db' video chunks; frame pixels decode
+    lazily via :func:`sparksketch.jpeg.decode_jpeg`."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    usec = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal usec
+        while pos + 8 <= end:
+            cid, sz = struct.unpack_from("<4sI", payload, pos)
+            pos += 8
+            if pos + sz > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(pos + 4, pos + sz)  # skip the list-kind fourcc
+            elif cid == b"avih":
+                usec = struct.unpack_from("<I", payload, pos)[0]
+            elif cid[2:] in (b"dc", b"db"):
+                frames.append(payload[pos:pos + sz])
+            pos += sz + (sz & 1)
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("no video chunks in AVI")
+    return frames, int(usec or 0)
+
+
+# ---------------------------------------------------------------------------
 # synthetic media table (REAL P6/WAV payloads, deterministic content)
 # ---------------------------------------------------------------------------
 
 def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic media table whose image/audio payloads are GENUINE
-    P6/WAV bytes (decodable by the real decoders above); video payloads
-    stay opaque.  Generation runs distributed via mapInPandas."""
+    """Deterministic media table whose image/audio/video payloads are ALL
+    genuine bytes of public formats (P6 PPM, RIFF/WAV PCM16, RIFF/AVI
+    MJPEG — each decodable by the real decoders in this module).
+    Generation runs distributed via mapInPandas."""
     base = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -160,9 +237,18 @@ def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                     rows.append((mid, kind, encode_wav(s), MIME_WAV,
                                  None, None, 100))
                 else:
+                    # 5-frame MJPEG AVI at 10 fps; per-frame smooth
+                    # gradient px = (mid%16 + f*8) + y*2 + x + c*40 on a
+                    # 16x16 canvas (max 172 < 256: no clipping, so frame
+                    # channel means are analytic for the SQL oracle)
+                    y = np.arange(16)[:, None, None]
+                    x = np.arange(16)[None, :, None]
+                    c = np.arange(3)[None, None, :]
+                    frames = [((int(mid) % 16 + f * 8) + y * 2 + x + c * 40)
+                              .astype(np.uint8) for f in range(5)]
                     rows.append((mid, kind,
-                                 rng.bytes(256), "video/x-opaque",
-                                 64, 48, 1000))
+                                 encode_avi_mjpeg(frames, fps=10),
+                                 MIME_MJPEG_AVI, 16, 16, 500))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "mime", "width", "height",
                 "duration_ms"])
@@ -319,20 +405,32 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
 
 def sample_video_frames(df: DataFrame, every_ms: int = 200,
                         fake: bool = False) -> DataFrame:
-    """Frame-sampling contract: one output row per sampled frame
-    (media_id, frame_idx, ts_ms, frame binary).  Decode stubbed — no
-    container parser without ffmpeg; the Arrow batch shape and schema are
-    the production contract."""
+    """Frame sampling: one output row per sampled frame (media_id,
+    frame_idx, ts_ms, frame binary).  RIFF/AVI MJPEG payloads decode for
+    REAL — container chunk walk + the frame's own baseline-JPEG bytes out
+    (binary-in/binary-out; decode the frame with ``decode_image`` /
+    ``jpeg.decode_jpeg`` downstream).  Other containers (MP4/H.264 etc.)
+    stay on the honest ``fake=True`` stub tier."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
                                          pdf["duration_ms"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    fblobs, usec = decode_avi_mjpeg(payload)
+                    step_ms = max(usec / 1000.0, 1.0)
+                    total_ms = int(len(fblobs) * step_ms)
+                    for ts in range(0, total_ms, every_ms):
+                        idx = min(int(ts / step_ms), len(fblobs) - 1)
+                        rows.append((mid, idx, ts, fblobs[idx]))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "video codec not available; pass fake=True")
+                        "no codec for this video container (only MJPEG/AVI "
+                        "decodes natively); pass fake=True")
                 for i, ts in enumerate(range(0, int(dur), every_ms)):
-                    frame = _fake_pixels(bytes(payload) + i.to_bytes(4, "little"),
+                    frame = _fake_pixels(payload + i.to_bytes(4, "little"),
                                          8, 8)
                     rows.append((mid, i, ts, frame.tobytes()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx",

@@ -106,6 +106,46 @@ class CountingBloomFilter(Sketch):
         if (self.cells < 0).any():
             self.valid = False
 
+    def apply_cell_op(self, op, h1: np.ndarray, h2: np.ndarray,
+                      value: int = 1) -> None:
+        """Generalized cell operator — the commons ``BufferManager.func(
+        entry, value, IntBinaryOperator)`` contract (reference
+        BufferManager.java:43-48) vectorized over a hash batch: for every
+        cell an item touches, combine the current cell value with
+        ``value`` under ``op``.
+
+        Named ops: ``add``/``subtract`` apply once per touching item
+        (closed form: +/- touches*value); ``max``/``min``/``set`` are
+        idempotent and apply once per touched cell.  A custom callable
+        receives ``(current_cells, touch_counts, value)`` for the touched
+        cells and returns their new values — the arbitrary-operator
+        seam.  Underflow below zero trips the validity flag (commons
+        contract); narrow-cell codecs saturate at their cap."""
+        if len(h1) == 0:
+            return
+        touches = self._unique_idx_counts(h1, h2)
+        touched = touches > 0
+        if op == "add":
+            self.cells += touches * value
+        elif op == "subtract":
+            self.cells -= touches * value
+        elif op == "max":
+            np.maximum(self.cells, np.where(touched, value, self.cells),
+                       out=self.cells)
+        elif op == "min":
+            np.minimum(self.cells, np.where(touched, value, self.cells),
+                       out=self.cells)
+        elif op == "set":
+            self.cells[touched] = value
+        elif callable(op):
+            self.cells[touched] = op(self.cells[touched], touches[touched],
+                                     value)
+        else:
+            raise ValueError(f"unknown cell op {op!r}")
+        if (self.cells < 0).any():
+            self.valid = False
+        self._saturate()
+
     def merge(self, other: Sketch) -> None:
         if not isinstance(other, CountingBloomFilter) or other.shape != self.shape:
             raise ValueError("shape mismatch in counting merge")

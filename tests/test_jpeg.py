@@ -78,6 +78,61 @@ class TestCodec:
             decode_jpeg(bytes(blob))
 
 
+class TestAviMjpeg:
+    def _frames(self, n=5, offset=7):
+        y = np.arange(16)[:, None, None]
+        x = np.arange(16)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        return [((offset + f * 8) + y * 2 + x + c * 40).astype(np.uint8)
+                for f in range(n)]
+
+    def test_container_roundtrip(self):
+        from sparksketch.multimodal import decode_avi_mjpeg, encode_avi_mjpeg
+        frames = self._frames()
+        blob = encode_avi_mjpeg(frames, fps=10)
+        fb, usec = decode_avi_mjpeg(blob)
+        assert len(fb) == 5 and usec == 100_000
+        for f, b in enumerate(fb):
+            px = decode_jpeg(b)
+            assert np.abs(px.astype(float)
+                          - frames[f].astype(float)).mean() <= 0.5
+
+    def test_malformed_avi_fails_fast(self):
+        from sparksketch.multimodal import decode_avi_mjpeg, encode_avi_mjpeg
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+        blob = encode_avi_mjpeg(self._frames(2))
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(blob[:len(blob) - 40])  # truncated chunk
+
+    def test_sample_video_frames_real_and_stub_tiers(self, spark):
+        import pandas as pd
+        from sparksketch.multimodal import (encode_avi_mjpeg,
+                                            sample_video_frames)
+        avi = encode_avi_mjpeg(self._frames(), fps=10)
+        pdf = pd.DataFrame({
+            "media_id": [1, 2], "kind": ["video", "video"],
+            "payload": [avi, b"\x00\x00\x00\x20ftypisom-opaque-mp4"],
+            "mime": ["video/x-msvideo", "video/mp4"],
+            "duration_ms": [500, 400]})
+        df = spark.createDataFrame(pdf)
+        real = sample_video_frames(df.filter("media_id = 1"),
+                                   every_ms=200).collect()
+        assert [(r.frame_idx, r.ts_ms) for r in real] == \
+            [(0, 0), (2, 200), (4, 400)]
+        px = decode_jpeg(bytes(real[1].frame))
+        assert abs(float(px[..., 0].mean()) - (7 + 16 + 22.5)) <= 1.0
+        # unknown container: honest stub tier
+        with pytest.raises(Exception):
+            sample_video_frames(df.filter("media_id = 2"),
+                                every_ms=200).collect()
+        fake = sample_video_frames(df.filter("media_id = 2"), every_ms=200,
+                                   fake=True).collect()
+        assert len(fake) == 2
+
+pytestmark_spark = pytest.mark.spark
+
+
 class TestDispatchAndPipeline:
     pytestmark = pytest.mark.spark
 
