@@ -361,6 +361,15 @@ def main() -> None:
             prev_total = sum(prev_queries.values())
             f.write(f"\nHeadline suite total: {total} sec "
                     f"(r{prev_round:02d}: {round(prev_total, 3)} sec)\n")
+            f.write(
+                "\nNote: as of round 3, `minhash_lsh_candidates` and "
+                "`simhash_near_dups` are VALUE-CHECKED gates that run "
+                "their own independent verification inside the query "
+                "(an exact inverted-index truth join / a brute-force "
+                "all-pairs hamming check) — their times include that "
+                "harness and are not comparable to the r02 rows-only "
+                "operator timings.  The production-path timing for the "
+                "LSH chain is `ngram_jaccard_pairs`.\n")
         else:
             f.write("| query | sec | steal% |\n|---|---|---|\n")
             for k, v in sorted(queries.items()):
