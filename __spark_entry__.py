@@ -633,6 +633,26 @@ def q_grouped_conv_distinct_texts(spark, sf_dir):
             .orderBy("conv_id"))
 
 
+def q_sql_api_conv_distinct(spark, sf_dir):
+    """PURE-SQL surface parity (sqlfuncs.register_sql_functions): the
+    segmented per-conversation bottom-k sketch table is exposed as a temp
+    view and queried with the registered ``sketch_estimate`` SQL function
+    — same answer as the DataFrame-API path (grouped_conv_distinct_texts)
+    and the same count(DISTINCT) oracle.  Shows a SQL-only user can
+    consume every aggregation's ``[keys..., sketch, rows]`` output."""
+    from sparksketch.agg import BottomKSpec, grouped_sketch_segmented
+    from sparksketch.sqlfuncs import register_sql_functions
+    from sparksketch.transcripts import transcripts_from_events
+    register_sql_functions(spark)
+    tr = transcripts_from_events(spark, sf_dir)
+    per = grouped_sketch_segmented(tr, ["conv_id"], BottomKSpec(k=4096),
+                                   ["text"])
+    per.createOrReplaceTempView("conv_sketches_sqlapi")
+    return spark.sql(
+        "SELECT conv_id, CAST(round(sketch_estimate(sketch)) AS BIGINT) "
+        "AS distinct_texts FROM conv_sketches_sqlapi ORDER BY conv_id")
+
+
 def q_cube_role_tool_distinct(spark, sf_dir):
     """Grouping sets over sketches (SURVEY Table C): distinct texts by
     CUBE(role, tool) — computed as ONE scan building the finest
@@ -1207,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_kmv_role_distinct": q_grouped_kmv_role_distinct,
         "grouped_conv_distinct_texts": q_grouped_conv_distinct_texts,
         "cube_role_tool_distinct": q_cube_role_tool_distinct,
+        "sql_api_conv_distinct": q_sql_api_conv_distinct,
         "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_planted_recall": q_ann_ivf_planted_recall,
@@ -1267,6 +1288,10 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT role, count(DISTINCT text) AS distinct_texts FROM t "
               "GROUP BY role ORDER BY role",
         "grouped_conv_distinct_texts":
+            _TRANSCRIPTS_CTE
+            + "SELECT conv_id, count(DISTINCT text) AS distinct_texts "
+              "FROM t GROUP BY conv_id ORDER BY conv_id",
+        "sql_api_conv_distinct":
             _TRANSCRIPTS_CTE
             + "SELECT conv_id, count(DISTINCT text) AS distinct_texts "
               "FROM t GROUP BY conv_id ORDER BY conv_id",

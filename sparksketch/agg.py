@@ -828,23 +828,29 @@ def _probe_entry(token: str, bc, inline) -> dict:
     return ent
 
 
-def _probe_sketch(token: str, bc, inline) -> Sketch:
+def _probe_sketch(token: str, bc, inline, acc=None) -> Sketch:
     ent = _probe_entry(token, bc, inline)
     sk = ent["sketches"].get(None)
     if sk is None:
         sk = ent["sketches"][None] = sketch_from_bytes(ent["payload"])
+        if acc is not None:  # test observability: count REAL decodes
+            acc.add(1)
     return sk
 
 
-def _probe_keyed_sketch(token: str, bc, inline, key) -> Sketch | None:
+def _probe_keyed_sketch(token: str, bc, inline, key, acc=None) -> Sketch | None:
     """Lazy per-key decode: only keys actually present in a batch are ever
-    deserialized, and each at most once per worker."""
+    deserialized, and each at most once per worker.  ``acc`` (a Spark
+    accumulator) counts actual decodes so tests can observe the
+    once-per-worker contract from the cluster side."""
     ent = _probe_entry(token, bc, inline)
     sks = ent["sketches"]
     if key in sks:
         return sks[key]
     blob = ent["payload"].get(key)
     sk = sketch_from_bytes(blob) if blob is not None else None
+    if sk is not None and acc is not None:
+        acc.add(1)
     sks[key] = sk
     return sk
 
@@ -872,7 +878,7 @@ def with_might_contain(df: DataFrame, blob: bytes,
 
 def with_layer_find(df: DataFrame, blob: bytes,
                     cols: Sequence[str | Column],
-                    out_col: str = "layers") -> DataFrame:
+                    out_col: str = "layers", decode_acc=None) -> DataFrame:
     """Adds an ``array<long>`` column of the layer keys containing each
     row's item — the commons LayeredBloomFilter ``find`` operation as a
     distributed probe (broadcast blob in the UDF closure, JVM hashing,
@@ -884,8 +890,8 @@ def with_layer_find(df: DataFrame, blob: bytes,
 
     @F.pandas_udf("array<long>")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        sk = (_probe_sketch(token, bc, inline) if bc is not None
-              else _cached_sketch(inline))
+        sk = (_probe_sketch(token, bc, inline, decode_acc)
+              if bc is not None else _cached_sketch(inline))
         return pd.Series(sk.find_hashes(h1.to_numpy(), h2.to_numpy()))
 
     return df.withColumn(
@@ -894,7 +900,8 @@ def with_layer_find(df: DataFrame, blob: bytes,
 
 def with_keyed_layer_find(df: DataFrame, blobs: dict,
                           key_col: str, cols: Sequence[str | Column],
-                          out_col: str = "layers") -> DataFrame:
+                          out_col: str = "layers",
+                          decode_acc=None) -> DataFrame:
     """Per-row ``find`` against the layered sketch selected by the row's
     ``key_col`` value (per-stream / per-tenant sketches): probing N keyed
     sketches costs ONE job instead of N.  Rows with keys absent from
@@ -910,7 +917,7 @@ def with_keyed_layer_find(df: DataFrame, blobs: dict,
         out: list = [[]] * len(keys)
         for k in pd.unique(keys):
             mask = kn == k
-            sk = _probe_keyed_sketch(token, bc, inline, k)
+            sk = _probe_keyed_sketch(token, bc, inline, k, decode_acc)
             if sk is None:
                 continue
             hits = sk.find_hashes(h1n[mask], h2n[mask])

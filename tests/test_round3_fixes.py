@@ -113,6 +113,60 @@ class TestProbeBroadcast:
         assert len(calls) == 2
 
 
+class TestOncePerWorkerDecode:
+    """Cluster-side observation of the probe decode memo: a broadcast
+    multi-MB keyed-layer blob dict probed across MANY partitions/batches
+    decodes at most once per (worker, key) — counted with a Spark
+    accumulator incremented only on REAL decodes."""
+
+    def test_keyed_probe_decodes_bounded_by_workers(self, spark,
+                                                    monkeypatch):
+        import sparksketch.agg as agg
+        from sparksketch.agg import with_keyed_layer_find
+        from sparksketch.shape import Shape
+        from sparksketch.sketches import LayeredBloomFilter
+        shape = Shape.from_np(200_000, 1e-9)  # ~0.9 MB of words per layer
+        rng = np.random.default_rng(5)
+        blobs = {}
+        for k in range(4):
+            words = rng.integers(0, 1 << 62, size=shape.m // 64 + 1,
+                                 dtype=np.int64).astype(np.uint64)
+            blobs[k] = LayeredBloomFilter(shape, {0: words}).to_bytes()
+        total_mb = sum(len(b) for b in blobs.values()) / 1e6
+        assert total_mb > 3  # genuinely multi-MB payload
+        monkeypatch.setattr(agg, "BLOB_BROADCAST_THRESHOLD", 1 << 10)
+        acc = spark.sparkContext.accumulator(0)
+        # 32 partitions x 4 keys = 128 naive decodes without the memo
+        df = spark.createDataFrame(
+            [(i % 4, i) for i in range(3200)], "k int, v long"
+        ).repartition(32)
+        out = with_keyed_layer_find(df, blobs, "k", ["v"],
+                                    decode_acc=acc)
+        n = out.filter(F.size("layers") >= 0).count()
+        assert n == 3200
+        workers = 8  # local[4] session; generous bound on pooled workers
+        assert 4 <= acc.value <= 4 * workers, acc.value
+        assert acc.value < 128  # far below the per-batch naive count
+
+    def test_layer_find_broadcast_single_decode(self, spark, monkeypatch):
+        import sparksketch.agg as agg
+        from sparksketch.agg import with_layer_find
+        from sparksketch.shape import Shape
+        from sparksketch.sketches import LayeredBloomFilter
+        shape = Shape.from_np(200_000, 1e-9)
+        rng = np.random.default_rng(6)
+        words = rng.integers(0, 1 << 62, size=shape.m // 64 + 1,
+                             dtype=np.int64).astype(np.uint64)
+        blob = LayeredBloomFilter(shape, {0: words}).to_bytes()
+        monkeypatch.setattr(agg, "BLOB_BROADCAST_THRESHOLD", 1 << 10)
+        acc = spark.sparkContext.accumulator(0)
+        df = spark.range(0, 3200, 1, 32)
+        out = with_layer_find(df, blob, ["id"], decode_acc=acc)
+        # count() alone would prune the UDF column — force its evaluation
+        assert out.filter(F.size("layers") >= 0).count() == 3200
+        assert 1 <= acc.value <= 8, acc.value
+
+
 class TestCacheRegistry:
     def test_release_caches_unpersists(self, spark):
         from sparksketch.caching import release_caches, track_cache
@@ -134,6 +188,59 @@ class TestCacheRegistry:
         simhash_near_dups(docs, "doc_id").collect()
         assert len(_LIVE_CACHES) >= 1
         assert release_caches() >= 1
+
+
+class TestSqlFunctionSurface:
+    """register_sql_functions: the sketch scalar surface from pure SQL."""
+
+    def test_estimate_contains_merge_quantile_via_sql(self, spark):
+        from sparksketch.agg import (BloomSpec, BottomKSpec, KLLSpec,
+                                     H2_SEED, build_partials,
+                                     grouped_sketch, tree_aggregate)
+        from sparksketch.shape import Shape
+        from sparksketch.sqlfuncs import register_sql_functions
+        names = register_sql_functions(spark)
+        assert "sketch_estimate" in names
+        df = spark.createDataFrame(
+            [(chr(97 + i % 3), i, float(i)) for i in range(90)],
+            "g string, k long, v double")
+        # grouped bottom-k -> SQL estimate == exact per-group distinct
+        per = grouped_sketch(df, ["g"], BottomKSpec(k=1 << 12), ["k"])
+        per.createOrReplaceTempView("t_sql_est")
+        got = {r.g: r.d for r in spark.sql(
+            "SELECT g, CAST(round(sketch_estimate(sketch)) AS BIGINT) "
+            "AS d FROM t_sql_est").collect()}
+        assert got == {"a": 30, "b": 30, "c": 30}
+        # bloom membership via SQL xxhash64 pair == IN-list
+        blob = tree_aggregate(build_partials(
+            df.filter("k < 40"), BloomSpec(Shape.from_np(200, 1e-9)),
+            ["k"]))
+        spark.createDataFrame([(blob, i) for i in range(90)],
+                              "sketch binary, k long") \
+            .createOrReplaceTempView("t_sql_probe")
+        hits = {r.k for r in spark.sql(
+            f"SELECT k FROM t_sql_probe WHERE sketch_contains(sketch, "
+            f"xxhash64(k), xxhash64({H2_SEED}, k))").collect()}
+        assert hits == set(range(40))
+        # per-group KLL quantile via SQL == exact median (exact regime)
+        perq = grouped_sketch(df, ["g"], KLLSpec(k=256, col="v"), ["k"])
+        perq.createOrReplaceTempView("t_sql_q")
+        meds = {r.g: r.m for r in spark.sql(
+            "SELECT g, sketch_quantile(sketch, 0.5) AS m FROM t_sql_q"
+        ).collect()}
+        assert set(meds) == {"a", "b", "c"}
+        for g, m in meds.items():
+            vals = sorted(float(i) for i in range(90)
+                          if chr(97 + i % 3) == g)
+            lo, hi = vals[14], vals[15]
+            assert lo <= m <= hi
+        # pairwise merge via SQL: union estimate adds up
+        per.createOrReplaceTempView("t_sql_m")
+        row = spark.sql(
+            "SELECT round(sketch_estimate(sketch_merge(a.sketch, "
+            "b.sketch))) AS u FROM t_sql_m a JOIN t_sql_m b "
+            "ON a.g = 'a' AND b.g = 'b'").first()
+        assert row.u == 60.0
 
 
 class TestCountingCodecV2:
