@@ -497,6 +497,29 @@ def q_quality_features_documents(spark, sf_dir):
                     "distinct_token_ratio"))
 
 
+def q_pipeline_training_yield(spark, sf_dir):
+    """End-to-end training-data pipeline COMPOSITION — the shape every
+    curation run takes: exact dedup (keep min doc_id per text) ->
+    quality features -> keep filter (n_tokens >= 5 AND
+    distinct_token_ratio >= 0.5) -> language ID -> per-language yield
+    (docs kept, total token budget).  Every stage is a library operator
+    chained lazily into ONE Catalyst plan (dedup's window, the feature
+    expressions, the lang argmax and the final agg all fuse into a
+    single scan + two shuffles); the oracle recomputes the whole
+    composition in SQL."""
+    from sparksketch.dedup import exact_dedup_rows
+    from sparksketch.text import with_lang_id, with_quality_features
+    docs = _tbl(spark, sf_dir, "documents")
+    kept = with_quality_features(exact_dedup_rows(docs, "text", "doc_id"))
+    kept = kept.filter((F.col("n_tokens") >= 5)
+                       & (F.col("distinct_token_ratio") >= 0.5))
+    return (with_lang_id(kept)
+            .groupBy("lang_pred")
+            .agg(F.count("*").alias("docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .orderBy("lang_pred"))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram shingle jaccard pairs >= 0.5 over documents — the
     SCALE PATH: MinHash+LSH candidate generation chained into exact
@@ -1220,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": q_token_count_documents,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "quality_features_documents": q_quality_features_documents,
+        "pipeline_training_yield": q_pipeline_training_yield,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_near_clusters": q_dedup_near_clusters,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -1433,6 +1457,33 @@ SELECT doc_id,
              / greatest(len(string_split(text, ' ')), 1), 6)
            AS distinct_token_ratio
 FROM documents""",
+        "pipeline_training_yield": """
+WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+d AS (SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM dd)),
+f AS (SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS r
+      FROM d),
+k AS (SELECT * FROM f WHERE n_tokens >= 5 AND r >= 0.5),
+toks AS (SELECT doc_id, n_tokens,
+                list_distinct(string_split(text, ' ')) AS w FROM k),
+s AS (SELECT doc_id, n_tokens,
+    len(list_intersect(w, ['the','and','of','to','a','in','is'])) AS en,
+    len(list_intersect(w, ['der','die','und','das','ist','nicht'])) AS de,
+    len(list_intersect(w, ['le','la','et','les','des','est'])) AS fr,
+    len(list_intersect(w, ['el','la','los','que','es','una'])) AS es
+    FROM toks)
+SELECT lang_pred, count(*) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM (
+  SELECT n_tokens,
+         CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+  FROM s) GROUP BY 1 ORDER BY 1
+""",
         "ngram_jaccard_pairs": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id,

@@ -212,7 +212,8 @@ def _headline_queries(spark, sf_dir: str, reps: int = 2) -> tuple[dict, dict]:
                 "setops_role_similarity", "dedup_exact_documents",
                 "ngram_jaccard_pairs", "ann_topk_cosine",
                 "minhash_lsh_candidates", "simhash_near_dups",
-                "stable_dedup_partitions", "grouped_conv_distinct_texts"]
+                "stable_dedup_partitions", "grouped_conv_distinct_texts",
+                "pipeline_training_yield"]
     out, steal = {}, {}
     for _ in range(max(reps, 1)):
         for name in headline:

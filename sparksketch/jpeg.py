@@ -228,18 +228,29 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False, restart_interval: int = 0,
+                gray: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0 with
-    ``subsample=True``)."""
-    h, w, _ = pixels.shape
+    ``subsample=True``).  ``restart_interval`` emits a DRI segment and
+    RSTn markers every that-many MCUs (the error-resilience feature real
+    encoders use); ``gray=True`` writes a 1-component luminance-only
+    stream."""
+    h, w = pixels.shape[:2]
     ql = _scaled_quant(QUANT_LUMA, quality).astype(np.float64)
     qc = _scaled_quant(QUANT_CHROMA, quality).astype(np.float64)
     px = pixels.astype(np.float64)
-    y = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-    cb = -0.168736 * px[..., 0] - 0.331264 * px[..., 1] + 0.5 * px[..., 2] \
-        + 128.0
-    cr = 0.5 * px[..., 0] - 0.418688 * px[..., 1] - 0.081312 * px[..., 2] \
-        + 128.0
+    if gray:
+        y = (px if px.ndim == 2
+             else 0.299 * px[..., 0] + 0.587 * px[..., 1]
+             + 0.114 * px[..., 2])
+        cb = cr = np.zeros_like(y)
+        subsample = False
+    else:
+        y = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        cb = (-0.168736 * px[..., 0] - 0.331264 * px[..., 1]
+              + 0.5 * px[..., 2] + 128.0)
+        cr = (0.5 * px[..., 0] - 0.418688 * px[..., 1]
+              - 0.081312 * px[..., 2] + 128.0)
     if subsample:
         eh, ew = h + (h & 1), w + (w & 1)
         cb = _pad_to_blocks(cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2) \
@@ -256,9 +267,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     for tid, q in ((0, ql), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
             + bytes(int(v) for v in q.ravel()[ZIGZAG])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF0
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
+                                      ncomp)  # SOF0
     out += bytes([1, (hs << 4) | vs, 0])       # Y
-    out += bytes([2, 0x11, 1, 3, 0x11, 1])     # Cb, Cr
+    if not gray:
+        out += bytes([2, 0x11, 1, 3, 0x11, 1])  # Cb, Cr
     for cls, tid, bits, vals in ((0, 0, _ENC_DC_BITS, _ENC_DC_VALS),
                                  (1, 0, _ENC_AC_BITS, _ENC_AC_VALS),
                                  (0, 1, _ENC_DC_BITS, _ENC_DC_VALS),
@@ -266,8 +280,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
                                          (cls << 4) | tid) \
             + bytes(bits) + bytes(vals)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3) \
-        + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])  # SOS
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp) \
+        + (bytes([1, 0x00]) if gray
+           else bytes([1, 0x00, 2, 0x11, 3, 0x11])) \
+        + bytes([0, 63, 0])  # SOS
 
     bw = _BitWriter()
     mcu_w, mcu_h = 8 * hs, 8 * vs
@@ -278,16 +296,27 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     cbp = _pad_to_blocks(cb, ch, cw)
     crp = _pad_to_blocks(cr, ch, cw)
     dc = [0, 0, 0]
+    mcu_idx, rst = 0, 0
     for my in range(mrows):
         for mx in range(mcols):
+            if restart_interval and mcu_idx \
+                    and mcu_idx % restart_interval == 0:
+                bw.flush()  # pad to byte, then an aligned RSTn marker
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                dc = [0, 0, 0]
             for by in range(vs):
                 for bx in range(hs):
                     r0, c0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
                     dc[0] = _encode_block(
                         bw, yp[r0:r0 + 8, c0:c0 + 8], ql, dc[0])
-            r0, c0 = my * 8, mx * 8
-            dc[1] = _encode_block(bw, cbp[r0:r0 + 8, c0:c0 + 8], qc, dc[1])
-            dc[2] = _encode_block(bw, crp[r0:r0 + 8, c0:c0 + 8], qc, dc[2])
+            if not gray:
+                r0, c0 = my * 8, mx * 8
+                dc[1] = _encode_block(bw, cbp[r0:r0 + 8, c0:c0 + 8], qc,
+                                      dc[1])
+                dc[2] = _encode_block(bw, crp[r0:r0 + 8, c0:c0 + 8], qc,
+                                      dc[2])
+            mcu_idx += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -406,11 +435,15 @@ def _decode_scan(payload: bytes, pos: int, frame, scan, qtables, htables,
     for my in range(mrows):
         for mx in range(mcols):
             if restart and mcu_idx and mcu_idx % restart == 0:
-                r.align()  # RSTn marker: aligned 0xFFD0-0xFFD7
-                if payload[r.pos:r.pos + 1] == b"\xff" and \
-                        0xD0 <= payload[r.pos + 1] <= 0xD7:
-                    r.pos += 2
-                    dc = [0] * len(comps)
+                r.align()  # scan to the aligned RSTn (skips pad/stuffing)
+                while r.pos + 1 < len(payload) and not (
+                        payload[r.pos] == 0xFF
+                        and 0xD0 <= payload[r.pos + 1] <= 0xD7):
+                    r.pos += 1
+                if r.pos + 1 >= len(payload):
+                    raise ValueError("missing restart marker")
+                r.pos += 2
+                dc = [0] * len(comps)
             for ci, c in enumerate(comps):
                 dct, act = scan[c["id"]]
                 dctab = htables[(0, dct)]

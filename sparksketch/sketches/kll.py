@@ -125,7 +125,11 @@ class KLLSketch(Sketch):
             lo = int(np.floor(pos))
             hi = min(lo + 1, v.size - 1)
             frac = pos - lo
-            return float(v[lo] * (1 - frac) + v[hi] * frac)
+            # lerp form (lo + f*(hi-lo)), not the blend (1-f)*lo + f*hi:
+            # the blend can round a tick away from the endpoints even when
+            # both are EQUAL; DuckDB's quantile_cont uses the lerp form,
+            # so this keeps the exact-regime oracle bit-aligned
+            return float(v[lo] + frac * (v[hi] - v[lo]))
         cum = np.cumsum(w) - 0.5 * w
         target = q * w.sum()
         return float(np.interp(target, cum, v))

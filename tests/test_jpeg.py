@@ -70,6 +70,29 @@ class TestCodec:
         with pytest.raises(ValueError):
             decode_jpeg(blob[:len(blob) // 2])  # truncated mid-stream
 
+    def test_restart_intervals_roundtrip(self):
+        px = _gradient(48, 64)
+        blob = encode_jpeg(px, quality=90, restart_interval=2)
+        assert b"\xff\xdd" in blob  # DRI segment present
+        assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+        out = decode_jpeg(blob)
+        assert np.abs(out.astype(float) - px.astype(float)).mean() <= 1.0
+
+    def test_restart_with_subsampling(self):
+        px = _gradient(33, 49)
+        out = decode_jpeg(encode_jpeg(px, quality=90, subsample=True,
+                                      restart_interval=1))
+        assert np.abs(out.astype(float) - px.astype(float)).mean() <= 2.0
+
+    def test_grayscale_stream(self):
+        g = _gradient(24, 40)[..., 0]
+        out = decode_jpeg(encode_jpeg(g, quality=95, gray=True))
+        assert out.shape == (24, 40, 3)
+        # decoder replicates the single luma plane to all three channels
+        assert (out[..., 0] == out[..., 1]).all()
+        assert np.abs(out[..., 0].astype(float) - g.astype(float)).mean() \
+            <= 1.0
+
     def test_progressive_sof_rejected_not_garbled(self):
         blob = bytearray(encode_jpeg(_gradient(16, 16), 85))
         i = blob.find(b"\xff\xc0")

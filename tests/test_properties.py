@@ -113,3 +113,83 @@ def test_hash_array64_deterministic_and_spread(data, seed):
         flipped[0] ^= 1
         assert hash_array64(np.frombuffer(bytes(flipped), dtype=np.uint8),
                             seed) != h1
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32), st.integers(1, 100),
+       st.sampled_from([60, 85, 95]), st.booleans())
+def test_jpeg_roundtrip_bounded_error(seed, quality_seed, quality, sub):
+    """Arbitrary small images survive the baseline JPEG round trip with
+    bounded error at every quality; structure markers always valid."""
+    from sparksketch.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    blob = encode_jpeg(px, quality=quality, subsample=sub)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    out = decode_jpeg(blob)
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(np.int64) - px.astype(np.int64))
+    # noise worst case: luma quant at q60 keeps means sane; hard cap 255
+    assert err.mean() <= 60
+    if quality >= 95 and not sub:
+        assert err.mean() <= 12
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 2**62), min_size=0, max_size=120),
+       st.integers(2, 5), st.integers(0, 2**32),
+       st.sampled_from([16, 32, 64]))
+def test_counting_codec_partition_invariance(hs, parts, seed, bits):
+    """Counting filter (both cell codecs): any partitioning of the input
+    merges to byte-identical output, including through serialization."""
+    from sparksketch.shape import Shape
+    from sparksketch.sketches import sketch_from_bytes
+    from sparksketch.sketches.counting import CountingBloomFilter
+    shape = Shape.from_np(200, 1e-4)
+    h1 = np.array(hs, dtype=np.int64)
+    h2 = np.array([int(x) ^ 0xABCDEF for x in hs], dtype=np.int64)
+    whole = CountingBloomFilter(shape, cell_bits=bits)
+    if h1.size:
+        whole.add_hashes(h1, h2)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(parts)
+    chunks1 = np.array_split(h1, parts)
+    chunks2 = np.array_split(h2, parts)
+    acc = None
+    for i in order:
+        part = CountingBloomFilter(shape, cell_bits=bits)
+        if chunks1[i].size:
+            part.add_hashes(chunks1[i], chunks2[i])
+        blob = part.to_bytes()
+        if acc is None:
+            acc = sketch_from_bytes(blob)
+        else:
+            acc.merge(sketch_from_bytes(blob))
+    assert acc.to_bytes() == whole.to_bytes()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-2**31, 2**31 - 1), min_size=1, max_size=60),
+       st.integers(1, 8))
+def test_avi_frame_count_and_payload_identity(frame_seeds, fps):
+    """The AVI container returns exactly the frames written, in order,
+    each decoding back to its source pixels within JPEG tolerance."""
+    from sparksketch.jpeg import decode_jpeg
+    from sparksketch.multimodal import decode_avi_mjpeg, encode_avi_mjpeg
+    frames = []
+    for s in frame_seeds[:6]:
+        rng = np.random.default_rng(abs(s))
+        base = int(rng.integers(0, 128))
+        y = np.arange(16)[:, None, None]
+        x = np.arange(16)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        frames.append(np.clip(base + y + x + c * 10, 0, 255)
+                      .astype(np.uint8))
+    blob = encode_avi_mjpeg(frames, fps=fps)
+    fb, usec = decode_avi_mjpeg(blob)
+    assert len(fb) == len(frames)
+    assert usec == 1_000_000 // fps
+    for want, got in zip(frames, fb):
+        px = decode_jpeg(got)
+        assert np.abs(px.astype(float) - want.astype(float)).mean() <= 1.0

@@ -175,6 +175,17 @@ def main():
     print("PASS  grouped fixed-k KLL shuffles raw rows only for the "
           "lag window; sketch rows otherwise")
 
+    # 8. one-scan CUBE: every coarser grouping set derives by MERGING the
+    # persisted finest sketch rows — the 2^d grouping sets cost ONE
+    # parquet scan, not 2^d (grouped_sketch_cube's core claim)
+    from sparksketch.agg import grouped_sketch_cube
+    p8 = plan_of(grouped_sketch_cube(
+        orders, ["o_orderstatus", "o_orderpriority"], BottomKSpec(k=64),
+        ["o_custkey"]))
+    n_scans = p8.count(") Scan parquet")
+    assert n_scans == 1, f"CUBE must scan parquet once, saw {n_scans}"
+    print("PASS  one-scan CUBE: 2^d grouping sets from a single scan")
+
     spark.stop()
     print("\nALL PLAN CHECKS PASSED" if ok else "\nPLAN CHECKS FAILED")
     sys.exit(0 if ok else 1)
