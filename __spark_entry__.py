@@ -393,9 +393,15 @@ def q_fill_layered_bursty_streams(spark, sf_dir):
     from sparksketch.shape import Shape
     from sparksketch.sketches import sketch_from_bytes
     ev = _tbl(spark, sf_dir, "events")
-    n_users = ev.select("user_id").distinct().count()
-    shape = Shape.from_np(max(4 * n_users, 1024), 1e-9)
     target = 32
+    # size each LAYER for its fill target, not the whole stream (the
+    # commons LayerManager contract: one modest shape per layer, a new
+    # layer on saturation).  4x margin keeps the popcount estimator's
+    # std at ~0.2 items so the saturation-window check cannot flake, and
+    # the whole keyed blob dict stays ~100x smaller than a
+    # total-population shape (round-3 fix: this query shipped 98 MB of
+    # layers at sf0.1 and needed a distinct-count sizing wave)
+    shape = Shape.from_np(4 * target, 1e-9)
     parts = fill_layered_build(
         ev, shape, target, ["user_id"],
         stream_col=F.pmod(F.col("event_id"), F.lit(4)),

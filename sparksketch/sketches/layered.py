@@ -185,6 +185,11 @@ class FillLayeredBloomFilter:
         while c < m and shape.estimate_n(c) < target_n:
             c += 1
         self._card_bar = max(c, 1)
+        # rescan window ~ a few fills of one layer: a chunk far larger
+        # than the fill target degenerates to O(advances x chunk) rescans
+        # (a 2048-row chunk at target 32 rescans ~64 times), while a tiny
+        # chunk pays per-call numpy overhead per few rows
+        self._chunk = int(min(max(4 * target_n, 64), self._CHUNK))
 
     @property
     def n_layers(self) -> int:
@@ -216,10 +221,10 @@ class FillLayeredBloomFilter:
         n = len(h1)
         if n == 0:
             return
-        if n > self._CHUNK:
-            for s in range(0, n, self._CHUNK):
-                self.insert_hashes(h1[s:s + self._CHUNK],
-                                   h2[s:s + self._CHUNK])
+        if n > self._chunk:
+            for s in range(0, n, self._chunk):
+                self.insert_hashes(h1[s:s + self._chunk],
+                                   h2[s:s + self._chunk])
             return
         idx = edh_indices(h1, h2, self.shape.k, self.shape.m)
         start = 0
