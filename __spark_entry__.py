@@ -1002,9 +1002,12 @@ def q_winnow_fingerprint_pairs(spark, sf_dir):
                    F.col("fingerprints").alias("_fa"))
     b = fps.select(F.col("doc_id").alias("id_b"),
                    F.col("fingerprints").alias("_fb"))
+    # persist the (small) brute RESULT: the O(n^2) array_intersect
+    # nested-loop scan is the expensive half and feeds both anti-joins
     brute = (a.join(b, F.col("id_a") < F.col("id_b"))
              .filter(F.size(F.array_intersect("_fa", "_fb")) >= 2)
-             .select("id_a", "id_b"))
+             .select("id_a", "id_b")
+             .persist(StorageLevel.MEMORY_AND_DISK))
     sym_diff = (op.join(brute, ["id_a", "id_b"], "left_anti").count()
                 + brute.join(op, ["id_a", "id_b"], "left_anti").count())
     ta = docs.select(F.col("doc_id").alias("id_a"),
@@ -1014,6 +1017,7 @@ def q_winnow_fingerprint_pairs(spark, sf_dir):
     identical = (op.join(ta, "id_a").join(tb, "id_b")
                  .filter(F.col("_ta") == F.col("_tb")).count())
     op.unpersist()
+    brute.unpersist()
     return spark.createDataFrame(
         [(bool(sym_diff == 0), int(identical))],
         "overlap_equals_brute boolean, identical_pairs bigint")
@@ -1041,10 +1045,13 @@ def q_simhash_near_dups(spark, sf_dir):
                   F.col("simhash").alias("_sha"))
     b = sh.select(F.col("doc_id").alias("id_b"),
                   F.col("simhash").alias("_shb"))
+    # persist the (small) brute RESULT: both anti-join directions read it,
+    # and the O(n^2) nested-loop scan must run once, not twice
     brute = (a.join(b, F.col("id_a") < F.col("id_b"))
              .filter(F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
                      <= 3)
-             .select("id_a", "id_b"))
+             .select("id_a", "id_b")
+             .persist(StorageLevel.MEMORY_AND_DISK))
     p = pairs.select("id_a", "id_b")
     sym_diff = (p.join(brute, ["id_a", "id_b"], "left_anti").count()
                 + brute.join(p, ["id_a", "id_b"], "left_anti").count())
@@ -1055,6 +1062,7 @@ def q_simhash_near_dups(spark, sf_dir):
     identical = (p.join(ta, "id_a").join(tb, "id_b")
                  .filter(F.col("_ta") == F.col("_tb")).count())
     pairs.unpersist()
+    brute.unpersist()
     return spark.createDataFrame(
         [(bool(sym_diff == 0), int(identical))],
         "banded_equals_brute boolean, identical_pairs bigint")
