@@ -375,6 +375,24 @@ def q_layered_daily_distinct_users(spark, sf_dir):
             .orderBy("day"))
 
 
+def q_session_window_user_stats(spark, sf_dir):
+    """Event-time sessionization (Table C window functions): per-user
+    session count and event totals via Spark's native ``session_window``
+    (30-minute gap) — a session closes when no event lands within the
+    gap of the previous one, i.e. a new session starts exactly when the
+    inter-event delta is >= the gap.  The oracle recomputes sessions
+    with the classic gaps-and-islands SQL (lag + break flag + sum)."""
+    _utc(spark)
+    ev = _tbl(spark, sf_dir, "events")
+    per_session = (ev.groupBy("user_id",
+                              F.session_window("ts", "30 minutes"))
+                   .agg(F.count("*").alias("_n")))
+    return (per_session.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("_n").alias("n_events"))
+            .orderBy("user_id"))
+
+
 def q_fill_layered_bursty_streams(spark, sf_dir):
     """Fill-policy LayeredBloomFilter (commons LayerManager advance-on-
     saturation; VERDICT round-1 gap): 4 bursty event streams
@@ -1251,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_bound": q_hll_distinct_users_bound,
         "layered_daily_distinct_users": q_layered_daily_distinct_users,
         "fill_layered_bursty_streams": q_fill_layered_bursty_streams,
+        "session_window_user_stats": q_session_window_user_stats,
         "setops_role_similarity": q_setops_role_similarity,
         "dup_text_counts": q_dup_text_counts,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -1421,6 +1440,18 @@ ORDER BY conv_id, tool""",
                       ROWS BETWEEN UNBOUNDED PRECEDING
                       AND 1 PRECEDING) > 0 AS is_dup
 FROM t ORDER BY conv_id, turn_idx""",
+        "session_window_user_stats": """
+WITH o AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+           FROM events),
+m AS (SELECT user_id,
+             CASE WHEN pts IS NULL
+                       OR epoch(ts) - epoch(pts) >= 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM o)
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM m GROUP BY user_id ORDER BY user_id""",
         "fill_layered_bursty_streams":
             "SELECT event_id % 4 AS stream, count(*) AS n_rows, "
             "true AS found_all, true AS layers_ok FROM events "

@@ -193,3 +193,60 @@ def test_avi_frame_count_and_payload_identity(frame_seeds, fps):
     for want, got in zip(frames, fb):
         px = decode_jpeg(got)
         assert np.abs(px.astype(float) - want.astype(float)).mean() <= 1.0
+
+
+def _one_of_each_sketch():
+    from sparksketch.shape import Shape, StableShape
+    from sparksketch.sketches import (BloomFilter, BottomKSketch,
+                                      CountMinSketch, CountingBloomFilter,
+                                      HyperLogLog, KLLSketch,
+                                      LayeredBloomFilter, MinHashSketch,
+                                      StableBloomFilter, TDigest)
+    shape = Shape.from_np(100, 1e-4)
+    sks = [BloomFilter(shape), CountingBloomFilter(shape),
+           CountingBloomFilter(shape, cell_bits=16),
+           HyperLogLog(p=8), CountMinSketch(64, 3), KLLSketch(64),
+           TDigest(50.0), BottomKSketch(32), MinHashSketch(16),
+           StableBloomFilter(StableShape.builder(shape).set_max(3).build()),
+           LayeredBloomFilter(shape, {0: np.zeros(shape.num_words,
+                                                  dtype=np.uint64)})]
+    h = np.arange(40, dtype=np.int64)
+    for sk in sks:
+        # feed whatever the kind accepts; content is irrelevant to the
+        # truncation property, only a non-trivial serialized state is
+        for meth, args in (("add_hashes", (h, h ^ 7)),
+                           ("add_hashes", (h,)),
+                           ("insert_hashes", (h, h ^ 7)),
+                           ("add_values", (h.astype(np.float64),))):
+            if hasattr(sk, meth):
+                try:
+                    getattr(sk, meth)(*args)
+                    break
+                except TypeError:
+                    continue
+    return sks
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 10), st.floats(0.0, 0.999))
+def test_truncated_sketch_blobs_fail_cleanly(which, frac):
+    """Corrupt/truncated blobs of EVERY sketch kind raise ValueError or
+    reconstruct without crashing — never hang, segfault, or silently
+    accept garbage lengths (an executor-safety property: one bad row in
+    a sketch table must fail the task cleanly)."""
+    sks = _one_of_each_sketch()
+    from sparksketch.sketches import sketch_from_bytes
+    blob = sks[which % len(sks)].to_bytes()
+    cut = blob[:max(1, int(len(blob) * frac))]
+    if cut == blob:
+        return
+    try:
+        sketch_from_bytes(cut)
+    except (ValueError, struct_error):
+        pass
+
+
+try:
+    from struct import error as struct_error
+except ImportError:  # pragma: no cover
+    struct_error = ValueError
