@@ -100,6 +100,32 @@ def q_counting_subtract_members(spark, sf_dir):
     return flagged.filter("might_contain").select("c_custkey")
 
 
+def q_counting_v2_members(spark, sf_dir):
+    """The narrow-cell (u16 saturating) counting codec under the value
+    gate: same add/subtract membership semantics as
+    counting_subtract_members, built with ``cell_bits=16`` partials —
+    each partial ships a QUARTER of the v1 bytes, the plan a 100 TB
+    build uses.  In this regime no cell approaches the 65535 cap, so the
+    result equals the exact SQL semi-join."""
+    from sparksketch.agg import (CountingBloomSpec, build_partials,
+                                 tree_aggregate, with_might_contain)
+    from sparksketch.shape import Shape
+    from sparksketch.sketches import sketch_from_bytes
+    customer = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    spec = CountingBloomSpec(Shape.from_np(max(orders.count(), 1), 1e-7),
+                             cell_bits=16)
+    all_b = tree_aggregate(build_partials(orders, spec, ["o_custkey"]))
+    f_b = tree_aggregate(build_partials(
+        orders.filter(F.col("o_orderstatus") == "F"), spec, ["o_custkey"]))
+    remaining = sketch_from_bytes(all_b)
+    if f_b is not None:
+        remaining.subtract(sketch_from_bytes(f_b))
+    flagged = with_might_contain(customer.select("c_custkey"),
+                                 remaining.to_bytes(), ["c_custkey"])
+    return flagged.filter("might_contain").select("c_custkey")
+
+
 def q_kmv_distinct_convs(spark, sf_dir):
     """Bottom-k (KMV) distinct conversations — exact below k."""
     from sparksketch.agg import BottomKSpec, sketch_dataframe
@@ -1254,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _release_then(fn) for name, fn in {
         "bloom_semijoin_customers": q_bloom_semijoin_customers,
         "counting_subtract_members": q_counting_subtract_members,
+        "counting_v2_members": q_counting_v2_members,
         "kmv_distinct_convs": q_kmv_distinct_convs,
         "cms_event_type_counts": q_cms_event_type_counts,
         "cms_tool_counts": q_cms_tool_counts,
@@ -1335,6 +1362,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders)",
         "counting_subtract_members":
+            "SELECT c_custkey FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')",
+        "counting_v2_members":
             "SELECT c_custkey FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')",
         "kmv_distinct_convs":

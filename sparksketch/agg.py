@@ -807,12 +807,16 @@ def _mint_probe_token(tag: str) -> str:
 
 def _ship_blob(df: DataFrame, payload):
     """Driver side: returns (token, bc, inline) — bc is a Broadcast when the
-    payload is large, else the payload ships inline in the closure."""
+    payload is large, else the payload ships inline in the closure.  The
+    broadcast registers in the cache-lifetime registry so long-lived
+    sessions can evict executor copies between queries (Broadcast exposes
+    the same ``unpersist()`` surface the registry calls)."""
     token = _mint_probe_token("probe")
     nbytes = (len(payload) if isinstance(payload, (bytes, bytearray))
               else sum(len(v) for v in payload.values()))
     if nbytes >= BLOB_BROADCAST_THRESHOLD:
-        bc = df.sparkSession.sparkContext.broadcast(payload)
+        from .caching import track_cache
+        bc = track_cache(df.sparkSession.sparkContext.broadcast(payload))
         return token, bc, None
     return token, None, payload
 
