@@ -803,6 +803,40 @@ def q_ann_ivf_topk(spark, sf_dir):
             .select("vec_id", "sim")
             .orderBy("vec_id"))
 
+def q_ann_ivf_index_topk(spark, sf_dir):
+    """MATERIALIZED IVF index (the 100 TB storage layout): vectors
+    written once as parquet partitioned by their k-means cell, queries
+    touching only the n_probe nearest cells via parquet PARTITION
+    PRUNING — the scan never opens the other cells' files (plan-checked
+    in tools/explain_plans.py).  Value-checked with the same
+    planted-separation construction as ann_ivf_topk: the 10 planted
+    scaled copies of the query vector are the exact top-10 (literal SQL
+    oracle); the result materializes before the temp index dir is
+    removed."""
+    import shutil
+    import tempfile
+    from sparksketch.similarity import ivf_query_index, ivf_write_index
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = np.array(emb.filter(F.col("vec_id") == 0)
+                 .select("embedding").first()[0], dtype=np.float64)
+    planted = spark.createDataFrame(
+        [(4_000_000 + i, (q * (1.1 + 0.1 * i)).tolist()) for i in range(10)],
+        "vec_id bigint, embedding array<double>")
+    base = (emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", F.transform("embedding",
+                                          lambda x: x.cast("double"))
+                    .alias("embedding"))
+            .unionByName(planted))
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        ivf_write_index(base, path, n_centroids=16)
+        rows = (ivf_query_index(spark, path, q, k=10, n_probe=4)
+                .orderBy("vec_id").collect())
+        return spark.createDataFrame(rows, "vec_id bigint, sim double")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_ann_ivf_planted_recall(spark, sf_dir):
     """Value-checked IVF contract (the rows-only ann_ivf_topk shows the
     raw operator): 5 scaled copies of the query vector are planted —
@@ -1328,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_conv_distinct": q_sql_api_conv_distinct,
         "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "ann_ivf_planted_recall": q_ann_ivf_planted_recall,
         "stable_dedup_partitions": q_stable_dedup_partitions,
         "stable_replay_check": q_stable_replay_check,
@@ -1620,6 +1655,9 @@ ORDER BY d.doc_id
             "SELECT true AS planted_recalled, CAST(5 AS BIGINT) AS n_found",
         "ann_ivf_topk":
             "SELECT CAST(3000000 + range AS BIGINT) AS vec_id, "
+            "CAST(1.0 AS DOUBLE) AS sim FROM range(0, 10) ORDER BY 1",
+        "ann_ivf_index_topk":
+            "SELECT CAST(4000000 + range AS BIGINT) AS vec_id, "
             "CAST(1.0 AS DOUBLE) AS sim FROM range(0, 10) ORDER BY 1",
         "minhash_lsh_candidates": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

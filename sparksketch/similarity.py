@@ -218,6 +218,51 @@ def ivf_assign(emb_df: DataFrame, n_centroids: int = 16,
     return _with_cell(emb_df, vec_col, cents), cents
 
 
+def ivf_write_index(emb_df: DataFrame, path: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42, refine_iters: int = 1) -> np.ndarray:
+    """Materialize the IVF index ONCE: vectors written as parquet
+    PARTITIONED BY their cell, centroids as a sidecar.  At 100 TB this is
+    the write path that makes every later query touch only ``n_probe``
+    cells of storage — probe-time cell pruning becomes parquet PARTITION
+    PRUNING (PartitionFilters in the scan), not a filter over a full
+    scan.  Returns the centroids."""
+    import json
+    import os
+    assigned, cents = ivf_assign(emb_df, n_centroids, id_col, vec_col,
+                                 seed, refine_iters=refine_iters)
+    (assigned.withColumnRenamed("_cell", "cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def ivf_query_index(spark, path: str, query: np.ndarray, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_probe: int = 4) -> DataFrame:
+    """Query a materialized IVF index: score ONLY the ``n_probe`` cells
+    nearest the query — the ``cell IN (...)`` predicate is on the
+    PARTITION column, so the scan never opens the other cells' files
+    (verified by the PartitionFilters plan check in
+    tools/explain_plans.py)."""
+    import json
+    import os
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = np.asarray(json.load(f), dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-12)
+    probe = [int(c) for c in np.argsort(-(cn @ q))[:n_probe]]
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    v = _as_double(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    sim = F.round(_dot_with_literal(v, q)
+                  / (norm * F.lit(float(np.linalg.norm(q)))), 5)
+    return (df.select(F.col(id_col), sim.alias("sim"))
+            .orderBy(F.desc("sim"), id_col).limit(k))
+
+
 def ivf_topk(emb_df: DataFrame, query: np.ndarray, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 4,

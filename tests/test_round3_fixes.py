@@ -444,6 +444,22 @@ class TestIVFKMeans:
         # raw-sample quantizer manages
         assert len(truth & ivf) >= 9
 
+    def test_materialized_index_matches_inline_ivf(self, spark, tmp_path):
+        from tests.test_pipeline_ops import _clustered_embeddings
+        from sparksketch.similarity import (ivf_query_index, ivf_topk,
+                                            ivf_write_index)
+        emb, centers = _clustered_embeddings(spark)
+        q = centers[3] * 1.02
+        path = str(tmp_path / "ivf")
+        ivf_write_index(emb, path, n_centroids=8, refine_iters=2)
+        via_index = {r.vec_id for r in
+                     ivf_query_index(spark, path, q, k=10,
+                                     n_probe=3).collect()}
+        inline = {r.vec_id for r in
+                  ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3,
+                           refine_iters=2).collect()}
+        assert via_index == inline  # same quantizer, same probe set
+
     def test_refine_is_deterministic(self, spark):
         from tests.test_pipeline_ops import _clustered_embeddings
         from sparksketch.similarity import ivf_assign

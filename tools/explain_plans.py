@@ -186,6 +186,29 @@ def main():
     assert n_scans == 1, f"CUBE must scan parquet once, saw {n_scans}"
     print("PASS  one-scan CUBE: 2^d grouping sets from a single scan")
 
+    # 9. materialized IVF index: probing n_probe cells is storage-level
+    # PARTITION PRUNING (the scan's PartitionFilters carry the cell IN
+    # predicate), not a post-scan filter — at 100 TB the other cells'
+    # files are never opened
+    import shutil
+    import tempfile
+    import numpy as np
+    from sparksketch.similarity import ivf_query_index, ivf_write_index
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    qv = np.array(emb.first()["embedding"], dtype=np.float64)
+    idx_dir = tempfile.mkdtemp(prefix="ivf_plan_")
+    try:
+        ivf_write_index(emb, idx_dir, n_centroids=8)
+        p9 = plan_of(ivf_query_index(spark, idx_dir, qv, k=5, n_probe=2))
+        print(p9)
+        pf = [ln for ln in p9.splitlines() if "PartitionFilters" in ln]
+        assert pf and "cell" in pf[0] and "IN" in pf[0], \
+            f"cell probe must reach PartitionFilters, got {pf}"
+        print("PASS  IVF index probe prunes cell partitions at the scan")
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     spark.stop()
     print("\nALL PLAN CHECKS PASSED" if ok else "\nPLAN CHECKS FAILED")
     sys.exit(0 if ok else 1)
