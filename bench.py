@@ -298,6 +298,20 @@ def main() -> None:
         "scaling": scaling,
         "ref_stack_baseline": ref_base,
     })
+    # The driver captures only the TAIL of stdout (round-3's full-detail
+    # JSON line overflowed it and recorded "parsed": null), so the line we
+    # print is a COMPACT summary and the full record goes to its own file.
+    compact = {
+        "metric": "headline query suite (sec) + build scaling",
+        "value": total,
+        "unit": "sec",
+        "sf": results["sf"],
+        "queries": queries,
+        "throughput": {f"c{c}": thr[c] for c in levels},
+        "scaling": {k: scaling[k] for k in scaling
+                    if k.startswith(("efficiency", "hw_ceiling", "pair"))},
+        "detail": "BENCH_result.json",
+    }
 
     # round-over-round continuity: compare per-query times against the
     # newest recorded BENCH_r{N}.json so regressions are visible at a
@@ -311,11 +325,18 @@ def main() -> None:
         try:
             with open(recs[-1]) as f:
                 doc = json.load(f)
-            prev = doc.get("parsed", doc)
-            prev_queries = prev.get("queries", {}) or {}
+            prev = doc.get("parsed") or doc
+            prev_queries = prev.get("queries") or {}
+            if not prev_queries:
+                # r03's record has "parsed": null (the JSON line overflowed
+                # the driver's tail capture) — recover the per-query map
+                # from the raw tail string
+                m = _re.search(r'"queries": (\{[^}]*\})', doc.get("tail", ""))
+                if m:
+                    prev_queries = json.loads(m.group(1))
             m = _re.search(r"BENCH_r(\d+)", recs[-1])
             prev_round = int(m.group(1)) if m else None
-        except (OSError, ValueError):
+        except (OSError, ValueError, AttributeError):
             pass
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -391,7 +412,11 @@ def main() -> None:
                 "distributed merge included) — and unlike the in-heap "
                 "reference it shards to arbitrarily many executors.\n")
 
-    print(json.dumps(results))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_result.json"), "w") as f:
+        json.dump(results, f, indent=1)
+        f.write("\n")
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

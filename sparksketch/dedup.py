@@ -63,8 +63,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
                        n_perm: int = 128, shingle_n: int = 3,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       grams_col: str | None = None) -> DataFrame:
     """Per-document MinHash signature: (id, sig array<long>[n_perm]).
+
+    ``grams_col``: name of a precomputed distinct-shingle-hash
+    ``array<long>`` column on ``df`` — lets a caller that already built
+    (and persisted) the gram arrays for another operator (e.g. the
+    prefix-filtered exact join) share that pass instead of re-tokenizing.
 
     Shingles never leave their row: the distinct-shingle hash array is
     built JVM-side (``transform(grams, g -> xxhash64(g))``) and ONE scalar
@@ -97,9 +103,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
             i = j
         return pd.Series(list(out))
 
-    return df.select(F.col(id_col),
-                     sig(F.transform(gram_array(text_col, shingle_n),
-                                     lambda g: F.xxhash64(g))).alias("sig"))
+    grams = (F.col(grams_col) if grams_col is not None
+             else F.transform(gram_array(text_col, shingle_n),
+                              lambda g: F.xxhash64(g)))
+    return df.select(F.col(id_col), sig(grams).alias("sig"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
@@ -141,6 +148,104 @@ def signature_jaccard(sig_df: DataFrame, pairs: DataFrame,
 
 # -- exact n-gram jaccard verification --------------------------------------
 
+def gram_hash_arrays(df: DataFrame, id_col: str, text_col: str = "text",
+                     shingle_n: int = 3) -> DataFrame:
+    """(id, grams array<long>) distinct word-shingle hashes per document —
+    the shared input of the minhash/LSH chain and the prefix-filtered
+    exact join.  Build once, persist, pass to both."""
+    gram_hashes = F.transform(gram_array(text_col, shingle_n)
+                              if shingle_n > 1
+                              else F.array_distinct(tokens_col(text_col)),
+                              lambda g: F.xxhash64(g))
+    return df.select(F.col(id_col), gram_hashes.alias("grams"))
+
+
+def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                         shingle_n: int = 3,
+                         threshold: float = 0.5,
+                         grams: DataFrame | None = None) -> DataFrame:
+    """EXACT jaccard >= threshold pairs via prefix filtering — the
+    scale-safe exact set-similarity join (AllPairs, Bayardo et al. WWW'07;
+    PPJoin family).
+
+    Shingle-hash sets are globally ordered by (document frequency, hash);
+    each document indexes only its PREFIX of ``|S| - ceil(t*|S|) + 1``
+    rarest tokens.  Completeness: if ``J(A,B) >= t`` then
+    ``|A&B| >= t*|A|``, so if A's prefix missed every shared token the
+    shared tokens would all sit in A's suffix of length ``ceil(t*|A|)-1 <
+    |A&B|`` — contradiction; the globally-minimal shared token therefore
+    lands in BOTH prefixes and the prefix equi-join finds the pair.
+    Candidates are then verified with an exact per-pair
+    ``array_intersect``.  Every stage is an equi-join / groupBy on token
+    hashes — no all-pairs product anywhere, posting lists are built only
+    for rare-end prefix tokens, so the plan survives arbitrary corpus
+    scale (unlike a full inverted-index join, whose hottest posting list
+    is quadratic).
+
+    ``grams``: optional precomputed (and ideally persisted)
+    ``gram_hash_arrays`` frame to share the tokenize+hash pass with other
+    consumers (minhash signatures)."""
+    from pyspark import StorageLevel
+    if grams is None:
+        # hash the grams ONCE: the arrays feed the df-frequency count, the
+        # prefix ranking, AND the final verification — without the persist
+        # the whole tokenize+hash pipeline re-evaluates per consumer (and
+        # the driver parquet is a single row group, so it would also run on
+        # one core; the row-level repartition parallelizes it)
+        npart = df.sparkSession.sparkContext.defaultParallelism
+        arrs = track_cache(
+            gram_hash_arrays(df.repartition(npart), id_col, text_col,
+                             shingle_n)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    else:
+        arrs = grams.select(F.col(id_col), F.col("grams"))
+    arrs = arrs.withColumnRenamed("grams", "_g")
+    ex = arrs.select(id_col, F.size("_g").alias("_sz"),
+                     F.explode("_g").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "sh")
+    # persist: BOTH sides of the candidate self-join read `prefix`; without
+    # it the dfreq join + window sort evaluate once per side
+    prefix = track_cache(
+        (ex.join(dfreq, "sh")
+         .withColumn("_pos", F.row_number().over(w))
+         .filter(F.col("_pos")
+                 <= F.col("_sz") - F.ceil(F.lit(threshold)
+                                          * F.col("_sz")) + 1)
+         .select(id_col, "sh", "_sz", "_pos"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    a = prefix.select(F.col(id_col).alias("id_a"), "sh",
+                      F.col("_sz").alias("_sa"), F.col("_pos").alias("_pa"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "sh",
+                      F.col("_sz").alias("_sb"), F.col("_pos").alias("_pb"))
+    # length filter (also AllPairs): J >= t forces |A∩B| >= t*max(|A|,|B|)
+    # and |A∩B| <= min(|A|,|B|), so set sizes must be within a factor t.
+    # Position filter (PPJoin): all shared tokens sort at-or-after the
+    # globally-minimal shared token m, so overlap <= min(|A|-pos_a(m),
+    # |B|-pos_b(m)) + 1; the per-pair MAX of the per-token bound is
+    # exactly m's (earlier position => larger bound), and J >= t needs
+    # overlap*(1+t) >= t*(|A|+|B|) (the raw inequality — no fp ceil).
+    cands = (a.join(b, ["sh"])
+              .filter((F.col("id_a") < F.col("id_b"))
+                      & (F.least("_sa", "_sb")
+                         >= threshold * F.greatest("_sa", "_sb")))
+              .groupBy("id_a", "id_b")
+              .agg(F.max(F.least(F.col("_sa") - F.col("_pa"),
+                                 F.col("_sb") - F.col("_pb"))).alias("_ub"),
+                   F.first("_sa").alias("_sa"),
+                   F.first("_sb").alias("_sb"))
+              .filter((F.col("_ub") + 1) * (1.0 + threshold)
+                      >= threshold * (F.col("_sa") + F.col("_sb")) - 1e-9)
+              .select("id_a", "id_b"))
+    va = arrs.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
+    vb = arrs.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    ja = F.round(inter / (F.size("_ga") + F.size("_gb") - inter), 6)
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .withColumn("jaccard", ja)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
 def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         shingle_n: int = 1, threshold: float = 0.0,
                         pairs: DataFrame | None = None) -> DataFrame:
@@ -150,10 +255,12 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     those pairs are scored — each candidate row joins to the two docs'
     distinct shingle-hash arrays and the intersection is a JVM
     ``array_intersect`` per pair, so the cost is O(candidates x doc size)
-    with no all-pairs join anywhere.  Without ``pairs`` it falls back to
-    the inverted-index self-join that scores every co-occurring pair —
-    exact but quadratic in co-occurrence; do not use it unbounded at
-    scale."""
+    with no all-pairs join anywhere.  Without ``pairs`` and with
+    ``threshold > 0`` it routes through the prefix-filtered exact join
+    (``jaccard_prefix_pairs``) — exact AND scale-safe.  Only the
+    ``threshold == 0`` no-pairs case (score every co-occurring pair) uses
+    the full inverted-index self-join, which is exact but quadratic in
+    co-occurrence; do not use THAT unbounded at scale."""
     gram_hashes = F.transform(gram_array(text_col, shingle_n)
                               if shingle_n > 1
                               else F.array_distinct(tokens_col(text_col)),
@@ -168,6 +275,9 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                 .withColumn("jaccard", ja)
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
+    if threshold > 0.0:
+        return jaccard_prefix_pairs(df, id_col, text_col, shingle_n,
+                                    threshold)
     sh = (shingles(df, id_col, text_col, shingle_n) if shingle_n > 1
           else df.select(F.col(id_col),
                          F.explode(F.array_distinct(tokens_col(text_col))).alias("g"))
@@ -326,24 +436,38 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
                       sh: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Candidate generation blocks on 16-bit bands of the 64-bit fingerprint
-    (pigeonhole: any pair within hamming 3 shares at least one of 4 bands —
-    the recall guarantee holds for ``max_hamming <= 3``; higher thresholds
-    may miss pairs differing in every band), then verifies with
-    bit_count(xor) — all JVM expressions.  Pass a precomputed
+    Candidate generation blocks on ``max_hamming + 1`` contiguous bands
+    of the 64-bit fingerprint (pigeonhole: a pair within hamming h has
+    all its differing bits in at most h bands, so at least one of h+1
+    bands is identical — the recall guarantee is exact for EVERY
+    threshold, not just the old fixed 4x16 layout's h <= 3; round-3
+    ADVICE item), then verifies with bit_count(xor) — all JVM
+    expressions.  More bands mean shorter band keys and more candidates,
+    the inherent simhash recall/cost trade.  Pass a precomputed
     ``sh = text.simhash(df, ...)`` frame to share the fingerprint pass
     with other consumers."""
     from pyspark import StorageLevel
     from .text import simhash
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31], "
+                         f"got {max_hamming}")
     if sh is None:
         sh = simhash(df, id_col, text_col)
+    nb = max_hamming + 1
+    width = 64 // nb
+    rem = 64 % nb  # first `rem` bands are one bit wider
+    offsets, off = [], 0
+    for i in range(nb):
+        w = width + (1 if i < rem else 0)
+        offsets.append((off, w))
+        off += w
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned("simhash", 16 * i)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)])).alias("bk")
+                     F.shiftrightunsigned("simhash", o)
+                      .bitwiseAND(F.lit((1 << w) - 1)).alias("key"))
+            for i, (o, w) in enumerate(offsets)])).alias("bk")
     ).select(id_col, "simhash", "bk.band", "bk.key")
     # both sides of the self-join read `banded`; without persist Catalyst
     # re-evaluates the SimHash vote UDF once PER SIDE (no exchange reuse

@@ -167,6 +167,38 @@ class TestDedupAccuracy:
             pairs=cands).collect()))
         assert full and chained == full
 
+    def test_prefix_join_equals_inverted_index(self, spark, sf_dir):
+        """jaccard_prefix_pairs (AllPairs prefix filtering — the new
+        scale-safe exact path, round-3 VERDICT #2) must return EXACTLY
+        the pairs the full inverted-index join returns, at several
+        thresholds, on the driver corpus."""
+        from sparksketch.dedup import jaccard_prefix_pairs, shingles
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # independent truth: full inverted-index join (quadratic — test
+        # corpus only), built inline so the test does not depend on the
+        # code path under test
+        sh = shingles(docs, "doc_id", "text", 3)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+        b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+        inter = (a.join(b, ["sh"]).filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
+        scored = (inter
+                  .join(sizes.select(F.col("doc_id").alias("id_a"),
+                                     F.col("sz").alias("sza")), "id_a")
+                  .join(sizes.select(F.col("doc_id").alias("id_b"),
+                                     F.col("sz").alias("szb")), "id_b")
+                  .withColumn("j", F.col("i") / (F.col("sza") + F.col("szb")
+                                                 - F.col("i"))))
+        for t in (0.3, 0.5, 0.9):
+            truth = {(r.id_a, r.id_b)
+                     for r in scored.filter(F.col("j") >= t).collect()}
+            got = {(r.id_a, r.id_b)
+                   for r in jaccard_prefix_pairs(
+                       docs, "doc_id", shingle_n=3, threshold=t).collect()}
+            assert got == truth, f"threshold {t}"
+        assert truth  # 0.9 threshold still has planted dups
+
     def test_bpe_token_count_cross_engine(self, spark):
         """The BPE-ish tokenizer pattern must tokenize identically in
         Spark (java.util.regex) and DuckDB (RE2) — both leftmost-first —
