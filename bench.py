@@ -320,7 +320,9 @@ def main() -> None:
     import glob as _glob
     import re as _re
     here = os.path.dirname(os.path.abspath(__file__))
-    recs = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
+    # NB: [0-9] matters — a bare BENCH_r* would also match our own
+    # BENCH_result.json sidecar and compare this run against itself
+    recs = sorted(_glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
     if recs:
         try:
             with open(recs[-1]) as f:
@@ -370,7 +372,9 @@ def main() -> None:
                     f"deliver {CPUS // hi}x the throughput of {hi} "
                     f"processes even on pure NumPy work).\n\n")
         if prev_queries:
-            f.write(f"| query | sec | steal% | prev (r{prev_round:02d}) "
+            prev_tag = f"r{prev_round:02d}" if prev_round is not None \
+                else "prev"
+            f.write(f"| query | sec | steal% | prev ({prev_tag}) "
                     "| delta |\n|---|---|---|---|---|\n")
             for k, v in sorted(queries.items()):
                 pv = prev_queries.get(k)
@@ -382,7 +386,7 @@ def main() -> None:
                     f.write(f"| {k} | {v} | {st} | new | — |\n")
             prev_total = sum(prev_queries.values())
             f.write(f"\nHeadline suite total: {total} sec "
-                    f"(r{prev_round:02d}: {round(prev_total, 3)} sec)\n")
+                    f"({prev_tag}: {round(prev_total, 3)} sec)\n")
             f.write(
                 "\nNote: as of round 3, `minhash_lsh_candidates` and "
                 "`simhash_near_dups` are VALUE-CHECKED gates that run "

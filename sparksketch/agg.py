@@ -53,7 +53,16 @@ def _norm_key(key) -> tuple:
     NaN/NaT/None all become ``None``.  Raw NaN keys are unusable as dict
     keys across Arrow batches (``nan != nan`` defeats the hash lookup
     unless pandas happens to hand back the same singleton) and unsortable
-    against strings."""
+    against strings.
+
+    CONTRACT (round-3 ADVICE): for float/double group columns this
+    FOLDS real NaN keys into the NULL group, where native Spark groupBy
+    keeps NaN as its own non-null group.  The conflation is partly
+    forced upstream — the Arrow->pandas crossing already maps SQL NULL
+    to NaN, so the two are indistinguishable by the time a pandas-side
+    fold sees them.  Callers that need NaN as a distinct group must
+    pre-normalize JVM-side (e.g. ``nanvl(col, lit(sentinel))`` or a
+    ``isnan`` filter) before the mapInPandas stage."""
     kt = key if isinstance(key, tuple) else (key,)
     return tuple(None if v is None or v != v else v for v in kt)
 
@@ -822,17 +831,23 @@ def _ship_blob(df: DataFrame, payload):
 
 
 def _probe_entry(token: str, bc, inline) -> dict:
-    """Executor side: memoized payload fetch (+ per-key sketch decode cache)."""
+    """Executor side: memoized payload fetch (+ per-key sketch decode
+    cache).  LRU (move-to-end on hit, round-3 ADVICE): with >5 probe ops
+    interleaving batches on one worker, insertion-order eviction would
+    drop the entry of an op whose tasks are still streaming and force a
+    multi-MB re-decode per subsequent batch; recency-order evicts the op
+    that stopped being probed."""
     ent = _PROBE_MEMO.get(token)
-    if ent is None:
-        while len(_PROBE_MEMO) > 4:
-            # evict the OLDEST token only (dict preserves insertion
-            # order): a blanket clear() would also drop entries of probe
-            # ops still running interleaved batches, forcing multi-MB
-            # re-decodes mid-query
-            del _PROBE_MEMO[next(iter(_PROBE_MEMO))]
-        payload = bc.value if bc is not None else inline
-        ent = _PROBE_MEMO[token] = {"payload": payload, "sketches": {}}
+    if ent is not None:
+        _PROBE_MEMO[token] = _PROBE_MEMO.pop(token)  # move to MRU end
+        return ent
+    while len(_PROBE_MEMO) > 4:
+        # evict the LEAST-RECENTLY-USED token only: a blanket clear()
+        # would also drop entries of probe ops still running
+        # interleaved batches
+        del _PROBE_MEMO[next(iter(_PROBE_MEMO))]
+    payload = bc.value if bc is not None else inline
+    ent = _PROBE_MEMO[token] = {"payload": payload, "sketches": {}}
     return ent
 
 

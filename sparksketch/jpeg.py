@@ -353,10 +353,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # 0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2)
+        while payload[pos + 1] == 0xFF and pos + 2 < len(payload):
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with NO length segment
+            continue
         seglen = struct.unpack_from(">H", payload, pos)[0]
         if pos + seglen > len(payload):
             raise ValueError("truncated JPEG segment")

@@ -278,11 +278,14 @@ def decode_image(payload: bytes, mime: str | None = None,
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            f"no codec for mime={mime!r} in this environment (P6 PPM and "
-            "baseline JPEG are natively decodable); pass fake=True or "
-            "plug a decoder here")
+            f"no codec for mime={mime!r} in this environment (P6 PPM, "
+            "baseline JPEG and PNG are natively decodable); pass "
+            "fake=True or plug a decoder here")
     return _fake_pixels(payload, 48, 64)
 
 
@@ -351,6 +354,43 @@ def jpeg_roundtrip_features(spark, n: int = 48,
     return base.mapInPandas(
         fn, schema="media_id long, jpeg_bytes long, shape_ok boolean, "
                    "mean_err_ok boolean")
+
+
+def png_roundtrip_features(spark, n: int = 48,
+                           partitions: int = 4) -> DataFrame:
+    """Distributed PNG encode -> decode round-trip over REAL PNG bytes
+    (sparksketch/png.py; DEFLATE via stdlib zlib): each task synthesizes
+    a deterministic image per media_id — a smooth gradient half plus a
+    seeded-noise half, so the encoder's per-row SAD filter choice
+    actually lands on all of Sub/Up/Average/Paeth/None — encodes,
+    decodes the bytes back, and asserts EXACT pixel equality (PNG is
+    lossless; byte-identical recovery is a contract no stubbed codec
+    could fake)."""
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("media_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png, encode_png
+        y = np.arange(48)[:, None, None]
+        x = np.arange(64)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                grad = (int(mid) * 7 + y * 3 + x * 2 + c * 50) % 256
+                rng = np.random.default_rng(int(mid))
+                noise = rng.integers(0, 256, size=(48, 64, 3))
+                px = np.where(x < 32, grad, noise).astype(np.uint8)
+                blob = encode_png(px)
+                out = decode_png(blob)
+                rows.append((mid, len(blob), out.shape == px.shape,
+                             bool(np.array_equal(out, px))))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "png_bytes", "shape_ok", "exact_match"])
+
+    return base.mapInPandas(
+        fn, schema="media_id long, png_bytes long, shape_ok boolean, "
+                   "exact_match boolean")
 
 
 def audio_features(df: DataFrame) -> DataFrame:

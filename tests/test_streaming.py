@@ -159,6 +159,65 @@ class TestStableDedupStream:
         assert [(r.conv_id, r.turn_idx, r.is_dup) for r in rows2] \
             == [(r.conv_id, r.turn_idx, r.is_dup) for r in rows]
 
+    def test_idle_timeout_evicts_state_in_live_query(self, spark, tmp_path):
+        """Round-3 VERDICT #7: drive the processing-time timeout path in
+        a REAL applyInPandasWithState query (not the fake-state driver).
+        conv-idle appears in micro-batch 0, is absent in batch 1 (whose
+        processing time is past the 1 ms timeout, so Spark invokes the
+        function with hasTimedOut and the state row is evicted), then
+        repeats its exact texts in batch 2: with eviction those repeats
+        re-seed an EMPTY filter and must NOT be flagged, while a control
+        run without the timeout flags every one of them."""
+        import glob
+        import shutil
+        from sparksketch.shape import Shape, StableShape
+        from sparksketch.streaming import stable_dedup_stream
+
+        schema = "conv_id string, turn_idx int, text string"
+        src = str(tmp_path / "src_idle")
+        os.makedirs(src)
+        batches = [
+            [("conv-idle", i, f"x-{i}") for i in range(5)]
+            + [("conv-active", 0, "a-0")],
+            [("conv-active", 1, "a-1")],
+            [("conv-idle", 10 + i, f"x-{i}") for i in range(5)]
+            + [("conv-active", 2, "a-0")],
+        ]
+        for i, rows in enumerate(batches):
+            d = f"{src}/b{i}"
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.parquet(d)
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                        f"{src}/{i:03d}.parquet")
+            shutil.rmtree(d)
+
+        def run(name, idle_timeout_ms):
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", "1").parquet(src))
+            ss = StableShape.builder(Shape.from_np(500, 1e-4)) \
+                .set_max(3).build()
+            deduped = stable_dedup_stream(
+                stream, ss, ["text"], key_col="conv_id",
+                order_cols=["turn_idx"], idle_timeout_ms=idle_timeout_ms)
+            q = (deduped.writeStream.format("memory").queryName(name)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return {(r.conv_id, r.turn_idx): r.is_dup
+                    for r in spark.table(name).collect()}
+
+        evicted = run("idle_evict", idle_timeout_ms=1)
+        control = run("idle_control", idle_timeout_ms=None)
+        assert len(evicted) == len(control) == 13
+        # batch-2 repeats: eviction forgot them; control remembers
+        assert not any(evicted[("conv-idle", 10 + i)] for i in range(5))
+        assert all(control[("conv-idle", 10 + i)] for i in range(5))
+        # first occurrences never flagged in either run
+        for flags in (evicted, control):
+            assert not any(flags[("conv-idle", i)] for i in range(5))
+        # conv-active stayed live through every batch: its repeat of
+        # "a-0" is flagged in BOTH runs (eviction is per-key)
+        assert evicted[("conv-active", 2)] and control[("conv-active", 2)]
+
     def test_group_spanning_multiple_arrow_chunks(self, spark, tmp_path):
         """A single key whose micro-batch exceeds one Arrow chunk: Spark
         delivers the group as MULTIPLE unsorted chunks, so the operator
