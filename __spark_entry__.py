@@ -1163,12 +1163,37 @@ def q_winnow_fingerprint_pairs(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     fps = track_cache(winnowed_fingerprints(docs, "doc_id", k=5, window=4)
                       .persist(StorageLevel.MEMORY_AND_DISK))
-    # ONE inverted-index pass serves both thresholds
-    base = track_cache(fingerprint_overlap_pairs(fps, "doc_id",
-                                                 min_shared=1)
-                       .persist(StorageLevel.MEMORY_AND_DISK))
-    op = base.filter(F.col("shared") >= 2).select("id_a", "id_b")
-    op1 = base.select("id_a", "id_b")
+    # production path: the >=2-shared inverted-index join, full corpus
+    op = (fingerprint_overlap_pairs(fps, "doc_id", min_shared=2)
+          .select("id_a", "id_b"))
+    # identical-text recall check: only docs whose text is DUPLICATED can
+    # appear in an identical pair, so the min_shared=1 pass runs on that
+    # (tiny) subset instead of the full corpus — a pair's shared count
+    # does not depend on other documents, so the restriction is exact.
+    # Round-4 fix: the old single full-corpus min_shared=1 pass blew up
+    # the pair count (every pair sharing ONE common fingerprint
+    # materialized) and dominated the query's 19.7s gate time.
+    dup_h = (docs.groupBy(F.xxhash64("text").alias("_h"))
+             .count().filter(F.col("count") > 1).select("_h"))
+    cand = track_cache(
+        docs.select("doc_id", "text", F.xxhash64("text").alias("_h"))
+        .join(dup_h, "_h")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    idp = track_cache(
+        cand.select(F.col("doc_id").alias("id_a"),
+                    F.col("text").alias("_ta"))
+        .join(cand.select(F.col("doc_id").alias("id_b"),
+                          F.col("text").alias("_tb")),
+              [F.col("_ta") == F.col("_tb"),
+               F.col("id_a") < F.col("id_b")])
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    dup_ids = (idp.select(F.col("id_a").alias("doc_id"))
+               .unionByName(idp.select(F.col("id_b").alias("doc_id")))
+               .distinct())
+    op1 = (fingerprint_overlap_pairs(
+        fps.join(F.broadcast(dup_ids), "doc_id"), "doc_id", min_shared=1)
+        .select("id_a", "id_b"))
     ids = _gate_subset(fps)
     sub = track_cache(fps.join(F.broadcast(ids), "doc_id")
                       .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1184,17 +1209,22 @@ def q_winnow_fingerprint_pairs(spark, sf_dir):
              .persist(StorageLevel.MEMORY_AND_DISK))
     sub_ids_a = ids.select(F.col("doc_id").alias("id_a"))
     sub_ids_b = ids.select(F.col("doc_id").alias("id_b"))
+    # one full-outer join computes the symmetric difference in a single
+    # pass, so the inverted-index plan behind ``op`` runs ONCE (round-4:
+    # the two-anti-join form evaluated it twice and dominated gate time)
     op_sub = (op.join(F.broadcast(sub_ids_a), "id_a")
-              .join(F.broadcast(sub_ids_b), "id_b"))
-    sym_diff = (op_sub.join(brute, ["id_a", "id_b"], "left_anti").count()
-                + brute.join(op_sub, ["id_a", "id_b"], "left_anti").count())
-    ta = docs.select(F.col("doc_id").alias("id_a"),
-                     F.col("text").alias("_ta"))
-    tb = docs.select(F.col("doc_id").alias("id_b"),
-                     F.col("text").alias("_tb"))
-    identical = (op1.join(ta, "id_a").join(tb, "id_b")
-                 .filter(F.col("_ta") == F.col("_tb")).count())
+              .join(F.broadcast(sub_ids_b), "id_b")
+              .withColumn("_l", F.lit(1)))
+    sym_diff = (op_sub.join(brute.withColumn("_r", F.lit(1)),
+                            ["id_a", "id_b"], "full_outer")
+                .filter(F.col("_l").isNull() | F.col("_r").isNull())
+                .count())
+    # recall: every identical-text pair must be found by the operator at
+    # min_shared=1 (identical texts share their identical fingerprint set)
+    identical = idp.join(op1, ["id_a", "id_b"]).count()
     brute.unpersist()
+    idp.unpersist()
+    cand.unpersist()
     return spark.createDataFrame(
         [(bool(sym_diff == 0), int(identical))],
         "overlap_equals_brute boolean, identical_pairs bigint")
