@@ -1447,6 +1447,66 @@ def q_multimodal_audio_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def q_bloom_antijoin_customers(spark, sf_dir):
+    """A6/B9 membership as EXACT distributed anti-join (blocklist
+    exclusion): customers with NO 'F'-status order — the blocklist is the
+    distinct custkeys of F orders.  A Bloom 'no' is certain, so the bulk
+    of the probe side passes map-side without shuffling; only the 'maybe'
+    rows reach the exact left_anti cleanup join — exact at ANY fpp, unlike
+    the semi-join's m >> n regime (agg.bloom_anti_join)."""
+    from sparksketch.agg import bloom_anti_join
+    customer = _tbl(spark, sf_dir, "customer")
+    blocked = (_tbl(spark, sf_dir, "orders")
+               .filter(F.col("o_orderstatus") == "F"))
+    return (bloom_anti_join(customer, ["c_custkey"], blocked, ["o_custkey"],
+                            fpp=1e-3)
+            .select("c_custkey"))
+
+
+#: mixture rates for q_mixture_weighted_sample — hex-grid-exact so the
+#: DuckDB oracle's thresholds match bit-for-bit (see sampling.rate_threshold)
+_MIXTURE_RATES = {"user": 0.25, "assistant": 0.0625,
+                  "tool": 0.5, "system": 0.125}
+_MIXTURE_SALT = "mix-r4"
+
+
+def q_mixture_weighted_sample(spark, sf_dir):
+    """LLM data-mixture step: per-role keep rates over the transcripts
+    stream, deterministic md5-threshold selection (sampling.
+    weighted_mixture_sample).  Map-side only — zero shuffles beyond the
+    scan at any scale; the oracle recomputes the exact same selection."""
+    from sparksketch.sampling import weighted_mixture_sample
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    return (weighted_mixture_sample(tr, "role", _MIXTURE_RATES,
+                                    ["conv_id", "turn_idx"],
+                                    salt=_MIXTURE_SALT)
+            .select("conv_id", "turn_idx", "role"))
+
+
+def q_sample_per_conv_turns(spark, sf_dir):
+    """Deterministic distributed reservoir: exactly min(2, |conv|) turns
+    per conversation by smallest md5(salt:conv:turn) (sampling.
+    per_group_sample) — the reproducible per-document downsampling step of
+    a curation pipeline.  One shuffle on conv_id; the rank digest is a
+    pure function of the data so any partitioning selects the same rows."""
+    from sparksketch.sampling import per_group_sample
+    from sparksketch.transcripts import transcripts_from_events
+    tr = transcripts_from_events(spark, sf_dir)
+    return (per_group_sample(tr, ["conv_id"], ["turn_idx"], k=2,
+                             salt="rsv-r4")
+            .select("conv_id", "turn_idx", "role"))
+
+
+def q_vocab_top_terms(spark, sf_dir):
+    """Exact corpus vocabulary top-20 over documents (text.top_terms):
+    partial-aggregated token counts (shuffle = distinct terms, not tokens)
+    + TakeOrderedAndProject."""
+    from sparksketch.text import top_terms
+    docs = _tbl(spark, sf_dir, "documents")
+    return top_terms(docs, "text", k=20)
+
+
 def _release_then(fn):
     """Release the previous query's tracked operator caches before running
     the next one — bounds executor storage-memory accumulation across a
@@ -1464,6 +1524,10 @@ def _release_then(fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _release_then(fn) for name, fn in {
         "bloom_semijoin_customers": q_bloom_semijoin_customers,
+        "bloom_antijoin_customers": q_bloom_antijoin_customers,
+        "mixture_weighted_sample": q_mixture_weighted_sample,
+        "sample_per_conv_turns": q_sample_per_conv_turns,
+        "vocab_top_terms": q_vocab_top_terms,
         "counting_subtract_members": q_counting_subtract_members,
         "counting_v2_members": q_counting_v2_members,
         "kmv_distinct_convs": q_kmv_distinct_convs,
@@ -1549,6 +1613,30 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_customers":
             "SELECT c_custkey FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders)",
+        "bloom_antijoin_customers":
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'F')",
+        "mixture_weighted_sample":
+            _TRANSCRIPTS_CTE
+            + "SELECT conv_id, turn_idx, role FROM t WHERE "
+              "substr(md5(concat_ws(':', 'mix-r4', conv_id, "
+              "CAST(turn_idx AS VARCHAR))), 1, 8) < CASE role "
+              "WHEN 'assistant' THEN '10000000' "
+              "WHEN 'system' THEN '20000000' "
+              "WHEN 'tool' THEN '80000000' "
+              "WHEN 'user' THEN '40000000' ELSE '00000000' END",
+        "sample_per_conv_turns":
+            _TRANSCRIPTS_CTE
+            + "SELECT conv_id, turn_idx, role FROM t QUALIFY "
+              "row_number() OVER (PARTITION BY conv_id ORDER BY "
+              "md5(concat_ws(':', 'rsv-r4', conv_id, "
+              "CAST(turn_idx AS VARCHAR)))) <= 2",
+        "vocab_top_terms":
+            "SELECT term, count(*) AS cnt FROM (SELECT "
+            "unnest(string_split(text, ' ')) AS term FROM documents) s "
+            "WHERE length(term) >= 1 "
+            "GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20",
         "counting_subtract_members":
             "SELECT c_custkey FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')",

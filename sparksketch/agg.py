@@ -982,6 +982,43 @@ def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
     return flagged.filter(F.col("_mc")).drop("_mc")
 
 
+def bloom_anti_join(probe_df: DataFrame, probe_cols: Sequence[str],
+                    build_df: DataFrame, build_cols: Sequence[str],
+                    expected_n: int | None = None,
+                    fpp: float = 1e-3) -> DataFrame:
+    """EXACT distributed anti-join (blocklist exclusion) with Bloom data
+    reduction — the complement of :func:`bloom_semijoin` and the shape a
+    100 TB "subtract this id blocklist" pass needs.
+
+    A Bloom "no" is always certain, so rows whose key the filter rejects —
+    the overwhelming majority when the blocklist is small — pass map-side
+    with NO shuffle.  Only the "maybe" rows (true members plus ~``fpp`` of
+    the stream) reach an exact ``left_anti`` join against the distinct
+    build keys, which removes the false positives.  Unlike the semi-join
+    (which needs m >> n to be effectively exact), the anti-join is exact
+    at ANY fpp, so the filter can stay small: the shuffled volume drops
+    from |probe| to |members| + fpp * |probe|.
+    """
+    if expected_n is None:
+        expected_n = build_df.count()
+    if expected_n == 0:
+        return probe_df
+    shape = Shape.from_np(max(expected_n, 1), fpp)
+    bspec = BloomSpec(shape)
+    blob = tree_aggregate(build_partials(build_df, bspec, build_cols),
+                          blob_bytes=bspec.est_bytes())
+    if blob is None:
+        return probe_df
+    flagged = with_might_contain(probe_df, blob, probe_cols, "_mc")
+    definite_out = flagged.filter(~F.col("_mc")).drop("_mc")
+    build_keys = build_df.select(
+        *[F.col(b).alias(p) for p, b in zip(probe_cols, build_cols)]
+    ).distinct()
+    survivors = (flagged.filter(F.col("_mc")).drop("_mc")
+                 .join(build_keys, on=list(probe_cols), how="left_anti"))
+    return definite_out.unionByName(survivors)
+
+
 def cms_heavy_hitters(df: DataFrame, cols: Sequence[str],
                       min_count: int, w: int = 1 << 16,
                       d: int = 5) -> DataFrame:

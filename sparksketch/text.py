@@ -172,3 +172,26 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str = "text",
     whole-document identity; winnowed k-gram minima provided separately via
     dedup.shingles + min)."""
     return df.select(id_col, F.xxhash64(text_col).alias(out_col))
+
+
+def top_terms(df: DataFrame, text_col: str = "text", k: int = 20,
+              min_len: int = 1) -> DataFrame:
+    """Exact corpus vocabulary top-k: ``(term, cnt)`` for the k most
+    frequent whitespace tokens, ties broken by term ascending.
+
+    100 TB shape: explode + groupBy is a partial-aggregated count (the
+    map-side combine collapses each partition's token stream to its local
+    vocabulary before the shuffle — shuffle volume is O(distinct terms),
+    not O(tokens)), and the final top-k is a TakeOrderedAndProject, never
+    a full sort.  Pure JVM expressions throughout.  For heavy-tailed
+    vocabularies where even distinct-terms-per-partition is too big,
+    compose with ``sketches.CountMinSketch`` heavy-hitters first
+    (see ``agg.cms_heavy_hitters``) and use this as the exact re-count of
+    the candidate set.
+    """
+    term = F.explode(tokens_col(text_col)).alias("term")
+    return (df.select(term)
+            .filter(F.length("term") >= min_len)
+            .groupBy("term").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("term").asc())
+            .limit(k))
