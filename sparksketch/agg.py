@@ -998,6 +998,16 @@ def bloom_anti_join(probe_df: DataFrame, probe_cols: Sequence[str],
     (which needs m >> n to be effectively exact), the anti-join is exact
     at ANY fpp, so the filter can stay small: the shuffled volume drops
     from |probe| to |members| + fpp * |probe|.
+
+    Plan shape (deliberate): the probe side is scanned TWICE — once per
+    branch of the union — rather than once with every row shuffled into
+    the cleanup join.  At 100 TB a second map-side columnar scan is far
+    cheaper than shuffling the full probe side (a shuffle writes + reads +
+    networks every row); callers who prefer one scan can persist the
+    flagged frame themselves.  Catalyst's constraint propagation also
+    infers the probe predicate onto the build side of the cleanup join —
+    a no-op filter (every build key passes its own bloom) on the small
+    side, left in place to keep the plan declarative.
     """
     if expected_n is None:
         expected_n = build_df.count()

@@ -209,6 +209,60 @@ def main():
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # 10. hash-threshold / mixture sampling: pure map-side — zero
+    # Exchange, zero Python eval; the md5-threshold compare runs inside
+    # WholeStageCodegen directly above the pruned scan
+    from sparksketch.sampling import weighted_mixture_sample
+    p10 = plan_of(weighted_mixture_sample(
+        orders.select("o_orderkey", "o_orderstatus"), "o_orderstatus",
+        {"F": 0.25, "O": 0.5}, ["o_orderkey"], salt="s"))
+    print(p10)
+    ok &= check("mixture sample: map-side only, codegen filter", p10,
+                want=["* Filter"],
+                forbid=["Exchange", "ArrowEvalPython", "MapInPandas",
+                        "BatchEvalPython"])
+
+    # 11. per-group reservoir: exactly ONE raw-row Exchange (the group
+    # window), no Python eval, and Spark's WindowGroupLimit kicks in —
+    # the rank<=k filter becomes a map-side partial top-k BEFORE the
+    # shuffle, so shuffle volume is O(k per group per partition), not
+    # the full table
+    from sparksketch.sampling import per_group_sample
+    p11 = plan_of(per_group_sample(
+        orders.select("o_custkey", "o_orderkey"), ["o_custkey"],
+        ["o_orderkey"], k=2, salt="s"))
+    print(p11)
+    ok &= check("per-group reservoir: one shuffle, WindowGroupLimit", p11,
+                want=["WindowGroupLimit"],
+                forbid=["ArrowEvalPython", "MapInPandas"])
+    ex11 = re.findall(r"\bExchange \((\d+)\)", p11)
+    assert len(ex11) == 1, f"reservoir must shuffle exactly once, got {ex11}"
+    limits11 = re.findall(r"WindowGroupLimit \((\d+)\)",  p11)
+    assert len(limits11) == 2, \
+        "expected Partial+Final WindowGroupLimit pair (map-side top-k)"
+    print("PASS  per-group reservoir does map-side partial top-k")
+
+    # 12. bloom anti-join: the certain-'no' branch is a map-side codegen
+    # filter over ONE Arrow eval; the residual exact cleanup is a
+    # left_anti join of only the 'maybe' rows
+    from sparksketch.agg import bloom_anti_join
+    p12 = plan_of(bloom_anti_join(
+        customer.select("c_custkey"), ["c_custkey"],
+        orders.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+        ["o_custkey"], expected_n=10_000))
+    print(p12)
+    ok &= check("bloom anti-join: map-side reduction + exact cleanup", p12,
+                want=["LeftAnti", "ArrowEvalPython"], forbid=[])
+    # the probe UDF evaluates once per branch (definite-out + maybe) over
+    # the probe table — two scans that shuffle only the 'maybe' rows beats
+    # one scan that shuffles everything.  Catalyst's constraint propagation
+    # additionally infers the probe predicate onto the small build side
+    # (harmless: every build key passes its own filter), so the plan holds
+    # at most 3 eval nodes x (header + detail) = 6 mentions.
+    assert p12.count("ArrowEvalPython") <= 6, \
+        "anti-join must not re-evaluate the probe UDF per downstream use"
+    print("PASS  bloom anti-join keeps one probe eval per branch")
+
     spark.stop()
     print("\nALL PLAN CHECKS PASSED" if ok else "\nPLAN CHECKS FAILED")
     sys.exit(0 if ok else 1)
