@@ -250,3 +250,38 @@ try:
     from struct import error as struct_error
 except ImportError:  # pragma: no cover
     struct_error = ValueError
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(r=st.floats(0.0, 1.0))
+def test_rate_threshold_monotone_and_calibrated(r):
+    from sparksketch.sampling import rate_threshold
+    t = rate_threshold(r)
+    assert len(t) == 8
+    if t == "gggggggg":  # rate ~ 1.0 sentinel: above every hex prefix
+        assert r > 1 - 2e-10 or round(r * 16**8 + 0.5) >= 16**8
+    else:
+        # the threshold encodes round-half-up(r * 16^8) exactly
+        assert int(t, 16) == min(16**8, int(r * 16**8 + 0.5))
+    # monotone: a larger rate never yields a smaller threshold
+    bigger = rate_threshold(min(1.0, r + 0.01))
+    assert bigger >= t
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(st.characters(codec="ascii"), max_size=12),
+                min_size=0, max_size=60),
+       st.floats(0.05, 0.95))
+def test_hash_threshold_selection_is_pure_function_of_key(keys, rate):
+    """The md5-prefix rule selects a key independent of position, batch,
+    or duplication — the property that makes the sample reproducible on
+    any engine/partitioning (no Spark needed to check the rule itself)."""
+    import hashlib
+    from sparksketch.sampling import rate_threshold
+    thr = rate_threshold(rate)
+    def keep(k):
+        return hashlib.md5(f"s:{k}".encode()).hexdigest()[:8] < thr
+    once = {k: keep(k) for k in keys}
+    # shuffled + duplicated evaluation agrees with the single evaluation
+    for k in list(reversed(keys)) + keys:
+        assert keep(k) == once[k]
