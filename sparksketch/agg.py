@@ -416,11 +416,36 @@ def build_partials_multi(
 
     Output: one row per input partition,
     ``pid long, rows long, <name> binary ...`` (one binary column per spec).
+
+    Specs that prepare IDENTICAL expressions (e.g. an HLL and a KLL both
+    keyed on ``xxhash64(conv_id)``) share ONE projected column: the hash is
+    computed once JVM-side and crosses the Arrow boundary once — at 100 TB
+    the crossing is the build's dominant cost (measured ~90%% of
+    over-scan time, tools/profile_build.py), so duplicate columns are
+    pure waste.
     """
     names = list(specs)
     exprs: list[Column] = []
+    # expr string (alias stripped) -> canonical projected column name
+    seen: dict[str, str] = {}
+    # spec name -> {batch col (h1/h2/value/layer) -> projected column name}
+    canon: dict[str, dict[str, str]] = {}
     for name, (spec, cols) in specs.items():
-        exprs.extend(spec.prepare_exprs(cols, prefix=f"{name}__"))
+        canon[name] = {}
+        for c in spec.prepare_exprs(cols, prefix=f"{name}__"):
+            jc = str(c._jc)
+            # rpartition: the expression itself may contain " AS "
+            # (e.g. CAST(x AS double)); the alias is always the last one
+            expr_key, sep, out_name = jc.rpartition(" AS ")
+            if not sep:
+                expr_key, out_name = jc, jc
+            batch_col = out_name[len(name) + 2:]
+            if expr_key in seen:
+                canon[name][batch_col] = seen[expr_key]
+            else:
+                seen[expr_key] = out_name
+                canon[name][batch_col] = out_name
+                exprs.append(c)
     prepared = df.select(*exprs)
     schema = ", ".join(["pid long", "rows long"]
                        + [f"`{n}` binary" for n in names])
@@ -436,7 +461,7 @@ def build_partials_multi(
             for n in names:
                 spec = specs[n][0]
                 sub = pdf.rename(columns={
-                    f"{n}__{c}": c for c in spec.BATCH_COLS})
+                    src: bc for bc, src in canon[n].items()})
                 spec.update(sks[n], sub)
         pid = TaskContext.get().partitionId()
         data = {"pid": [pid], "rows": [rows]}
