@@ -1498,6 +1498,40 @@ def q_sample_per_conv_turns(spark, sf_dir):
             .select("conv_id", "turn_idx", "role"))
 
 
+def q_kmv_setops_custkeys(spark, sf_dir):
+    """KMV (bottom-k) distinct set algebra: |A ∪ B|, |A ∩ B|, |A \\ B| of
+    the customer sets behind 'F' vs 'O' orders, from two MERGEABLE
+    per-group sketches (one grouped build, KB blobs to the driver — never
+    the sets themselves).  Exact regime (k=32768 > distinct custkeys at
+    sf0.1) makes the estimates equal the SQL exacts; a second k=256 build
+    exercises the REAL approximate estimator (Beyer et al. 2007
+    intersection = jaccard x union) under a 4-sigma-style bound, reported
+    as booleans the oracle asserts TRUE."""
+    from sparksketch.agg import BottomKSpec, grouped_sketch
+    from sparksketch.sketches import sketch_from_bytes
+    orders = _tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O"))
+
+    def pair(k):
+        rows = grouped_sketch(orders, ["o_orderstatus"], BottomKSpec(k=k),
+                              ["o_custkey"]).collect()
+        by = {r.o_orderstatus: sketch_from_bytes(bytes(r.sketch))
+              for r in rows}
+        return by["F"], by["O"]
+
+    a, b = pair(32768)  # exact regime at sf <= 0.1
+    union_d = int(round(a.union_distinct(b)))
+    inter_d = int(round(a.intersect_distinct(b)))
+    diff_d = int(round(a.difference_distinct(b)))
+    a2, b2 = pair(256)  # approximate regime: real estimator path
+    union_ok = abs(a2.union_distinct(b2) - union_d) <= 0.25 * union_d
+    inter_ok = abs(a2.intersect_distinct(b2) - inter_d) <= 0.25 * union_d
+    return spark.createDataFrame(
+        [(union_d, inter_d, diff_d, bool(union_ok), bool(inter_ok))],
+        "union_d bigint, inter_d bigint, diff_d bigint, "
+        "approx_union_ok boolean, approx_inter_ok boolean")
+
+
 def q_vocab_top_terms(spark, sf_dir):
     """Exact corpus vocabulary top-20 over documents (text.top_terms):
     partial-aggregated token counts (shuffle = distinct terms, not tokens)
@@ -1528,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weighted_sample": q_mixture_weighted_sample,
         "sample_per_conv_turns": q_sample_per_conv_turns,
         "vocab_top_terms": q_vocab_top_terms,
+        "kmv_setops_custkeys": q_kmv_setops_custkeys,
         "counting_subtract_members": q_counting_subtract_members,
         "counting_v2_members": q_counting_v2_members,
         "kmv_distinct_convs": q_kmv_distinct_convs,
@@ -1632,6 +1667,19 @@ def oracle_sql() -> dict[str, str]:
               "row_number() OVER (PARTITION BY conv_id ORDER BY "
               "md5(concat_ws(':', 'rsv-r4', conv_id, "
               "CAST(turn_idx AS VARCHAR)))) <= 2",
+        "kmv_setops_custkeys":
+            "WITH f AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderstatus = 'F'), "
+            "o AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderstatus = 'O'), "
+            "i AS (SELECT count(*) AS c FROM "
+            "(SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)) "
+            "SELECT "
+            "(SELECT count(*) FROM (SELECT o_custkey FROM f UNION "
+            "SELECT o_custkey FROM o)) AS union_d, "
+            "(SELECT c FROM i) AS inter_d, "
+            "(SELECT count(*) FROM f) - (SELECT c FROM i) AS diff_d, "
+            "true AS approx_union_ok, true AS approx_inter_ok",
         "vocab_top_terms":
             "SELECT term, count(*) AS cnt FROM (SELECT "
             "unnest(string_split(text, ' ')) AS term FROM documents) s "

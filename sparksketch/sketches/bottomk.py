@@ -87,6 +87,36 @@ class BottomKSketch(Sketch):
         frac = pos - lo
         return float(v[lo] * (1 - frac) + v[hi] * frac)
 
+    def union_distinct(self, other: "BottomKSketch") -> float:
+        """Distinct-count estimate of A ∪ B: the union's bottom-k is itself
+        a valid KMV sketch (KMV sketches are closed under union — Beyer et
+        al. 2007), so this is exact whenever |A ∪ B| < k."""
+        if other.k != self.k:
+            raise ValueError("k mismatch")
+        u = BottomKSketch(self.k, self.hashes.copy(), self.values.copy(),
+                          self.n)
+        u.merge(other)
+        return u.distinct_estimate()
+
+    def intersect_distinct(self, other: "BottomKSketch") -> float:
+        """Distinct-count estimate of A ∩ B: bottom-k Jaccard over the
+        union's sample frame times the union estimate (the standard KMV
+        intersection estimator).  Exact when both kept sets are complete
+        (< k distinct on each side)."""
+        if other.k != self.k:
+            raise ValueError("k mismatch")
+        if self.hashes.size < self.k and other.hashes.size < other.k:
+            return float(np.intersect1d(self.hashes, other.hashes).size)
+        j = self.jaccard(other)
+        if not np.isfinite(j):
+            return 0.0
+        return j * self.union_distinct(other)
+
+    def difference_distinct(self, other: "BottomKSketch") -> float:
+        """Distinct-count estimate of A \\ B = |A| - |A ∩ B| (clamped)."""
+        return max(self.distinct_estimate()
+                   - self.intersect_distinct(other), 0.0)
+
     def jaccard(self, other: "BottomKSketch") -> float:
         """Bottom-k Jaccard estimate: treat the union's bottom-k as the
         sample frame."""

@@ -205,3 +205,54 @@ class TestMinHash:
         b.add_hashes(h[2500:])
         assert merge_bytes(a.to_bytes(), b.to_bytes()) == whole.to_bytes()
         assert merge_bytes(b.to_bytes(), a.to_bytes()) == whole.to_bytes()
+
+
+class TestBottomKSetOps:
+    """union/intersect/difference distinct estimators (Beyer et al. 2007):
+    exact when kept sets are complete, bounded error in the sampled
+    regime."""
+
+    @staticmethod
+    def _pair(k, n_a=5000, n_b=4000, n_shared=2500, seed=7):
+        import numpy as np
+        from sparksketch.sketches import BottomKSketch
+        rng = np.random.default_rng(seed)
+        # uniform 64-bit "hashes" stand in for xxhash64 output; oversample
+        # then unique-slice into disjoint shared/only-a/only-b pools
+        need = n_a + n_b - n_shared
+        # FULL uint64 range (KMV normalizes h_k by 2^64 — a half-range
+        # pool would bias the estimator 2x), viewed as the int64 the
+        # xxhash64 column carries
+        pool = np.unique(rng.integers(0, 2**64, size=2 * need,
+                                      dtype=np.uint64)).view(np.int64)
+        pool = rng.permutation(pool)[:need]
+        assert pool.size == need
+        shared = pool[:n_shared]
+        only_a = pool[n_shared:n_a]
+        only_b = pool[n_a:]
+        a, b = BottomKSketch(k), BottomKSketch(k)
+        a.add_hashes(np.r_[shared, only_a])
+        b.add_hashes(np.r_[shared, only_b])
+        return a, b
+
+    def test_exact_regime(self):
+        a, b = self._pair(k=1 << 14)
+        assert round(a.union_distinct(b)) == 6500
+        assert round(a.intersect_distinct(b)) == 2500
+        assert round(a.difference_distinct(b)) == 2500
+        assert round(b.difference_distinct(a)) == 1500
+
+    def test_approximate_regime_bounds(self):
+        a, b = self._pair(k=512)
+        # 4-sigma-ish: union rel err ~ 1/sqrt(k-2); intersection adds the
+        # jaccard sampling term sqrt(J(1-J)/k) * U
+        assert abs(a.union_distinct(b) - 6500) <= 4 * 6500 / (510 ** 0.5)
+        j = 2500 / 6500
+        tol = 4 * ((j * (1 - j) / 512) ** 0.5 * 6500 + j * 6500 / 510 ** 0.5)
+        assert abs(a.intersect_distinct(b) - 2500) <= tol
+
+    def test_k_mismatch_raises(self):
+        import pytest as _pytest
+        from sparksketch.sketches import BottomKSketch
+        with _pytest.raises(ValueError):
+            BottomKSketch(8).union_distinct(BottomKSketch(16))
