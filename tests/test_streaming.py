@@ -254,3 +254,44 @@ class TestStableDedupStream:
         assert len(flags) == 400
         assert not any(flags[i] for i in range(0, 400, 2))
         assert all(flags[i] for i in range(1, 400, 2))
+
+
+class TestWindowedQuantiles:
+    def test_streaming_windowed_kll_quantiles_exact_regime(
+            self, spark, tmp_path):
+        """WindowedSketchState is spec-generic: per-day KLL quantile
+        sketches merged across micro-batches, late rows folding into
+        their (old) window.  Capacity k >= n makes the merged quantiles
+        EXACT, so the check is equality against the full per-day sort,
+        not a tolerance band."""
+        import datetime as dt
+        import numpy as np
+        from sparksketch.agg import KLLSpec
+        from sparksketch.sketches import sketch_from_bytes
+        from sparksketch.streaming import WindowedSketchState
+
+        d1 = dt.datetime(2026, 1, 1, 9)
+        d2 = dt.datetime(2026, 1, 2, 9)
+        # values keyed so day-1's distribution differs from day-2's
+        def rows(vals, day, tag):
+            return [(int(v), day, tag) for v in vals]
+        day1_b1, day1_b2 = list(range(0, 60)), list(range(60, 100))
+        day2_b1, day2_b2 = list(range(200, 230)), list(range(230, 260))
+        wss = WindowedSketchState(
+            KLLSpec(k=400, col="user_id"), ["user_id"], str(tmp_path),
+            window="1 day")
+        wss.process_batch(
+            _mk_events(spark, rows(day1_b1, d1, "a")
+                       + rows(day2_b1, d2, "b")), 0)
+        # batch 2 carries LATE day-1 rows
+        wss.process_batch(
+            _mk_events(spark, rows(day2_b2, d2, "c")
+                       + rows(day1_b2, d1, "d")), 1)
+        snap = {r.window_start.day: sketch_from_bytes(bytes(r.sketch))
+                for r in wss.snapshot(spark).collect()}
+        for day, vals in ((1, day1_b1 + day1_b2), (2, day2_b1 + day2_b2)):
+            arr = np.sort(np.array(vals, dtype=float))
+            for q in (0.1, 0.5, 0.9):
+                want = float(np.quantile(arr, q))
+                got = snap[day].quantile(q)
+                assert abs(got - want) <= 1.0, (day, q, got, want)
