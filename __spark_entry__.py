@@ -1498,6 +1498,36 @@ def q_sample_per_conv_turns(spark, sf_dir):
             .select("conv_id", "turn_idx", "role"))
 
 
+#: per-language keep rates for the curation pipeline — hex-grid-exact so
+#: the oracle thresholds match bit-for-bit
+_CURATION_RATES = {"en": 0.5, "zh": 0.25, "de": 0.25,
+                   "fr": 0.125, "es": 0.125}
+_CURATION_SALT = "cur-r4"
+
+
+def q_curation_budget_pipeline(spark, sf_dir):
+    """Composed training-data CURATION pipeline over documents — exact
+    dedup -> per-language weighted mixture sample -> per-language
+    reservoir cap -> token budget — one fused Catalyst plan chaining the
+    round-4 sampling operators with the dedup window.  Every stage is
+    deterministic (md5-rank selections), so the SQL oracle replays the
+    identical pipeline."""
+    from sparksketch.dedup import exact_dedup_rows
+    from sparksketch.sampling import per_group_sample, weighted_mixture_sample
+    from sparksketch.text import tokens_col
+    docs = _tbl(spark, sf_dir, "documents")
+    ded = exact_dedup_rows(docs, "text", "doc_id")
+    mix = weighted_mixture_sample(ded, "lang", _CURATION_RATES,
+                                  ["doc_id"], salt=_CURATION_SALT)
+    res = per_group_sample(mix, ["lang"], ["doc_id"], k=10,
+                           salt=_CURATION_SALT)
+    return (res.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(tokens_col("text"))).cast("long")
+                 .alias("n_tokens"))
+            .orderBy("lang"))
+
+
 def q_kmv_setops_custkeys(spark, sf_dir):
     """KMV (bottom-k) distinct set algebra: |A ∪ B|, |A ∩ B|, |A \\ B| of
     the customer sets behind 'F' vs 'O' orders, from two MERGEABLE
@@ -1563,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_conv_turns": q_sample_per_conv_turns,
         "vocab_top_terms": q_vocab_top_terms,
         "kmv_setops_custkeys": q_kmv_setops_custkeys,
+        "curation_budget_pipeline": q_curation_budget_pipeline,
         "counting_subtract_members": q_counting_subtract_members,
         "counting_v2_members": q_counting_v2_members,
         "kmv_distinct_convs": q_kmv_distinct_convs,
@@ -1667,6 +1698,21 @@ def oracle_sql() -> dict[str, str]:
               "row_number() OVER (PARTITION BY conv_id ORDER BY "
               "md5(concat_ws(':', 'rsv-r4', conv_id, "
               "CAST(turn_idx AS VARCHAR)))) <= 2",
+        "curation_budget_pipeline":
+            "WITH ded AS (SELECT * FROM documents QUALIFY "
+            "row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1), "
+            "mix AS (SELECT * FROM ded WHERE "
+            "substr(md5(concat_ws(':', 'cur-r4', "
+            "CAST(doc_id AS VARCHAR))), 1, 8) < CASE lang "
+            "WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000' "
+            "WHEN 'de' THEN '40000000' WHEN 'fr' THEN '20000000' "
+            "WHEN 'es' THEN '20000000' ELSE '00000000' END), "
+            "res AS (SELECT * FROM mix QUALIFY row_number() OVER "
+            "(PARTITION BY lang ORDER BY md5(concat_ws(':', 'cur-r4', "
+            "lang, CAST(doc_id AS VARCHAR)))) <= 10) "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
+            "FROM res GROUP BY lang ORDER BY lang",
         "kmv_setops_custkeys":
             "WITH f AS (SELECT DISTINCT o_custkey FROM orders "
             "WHERE o_orderstatus = 'F'), "
