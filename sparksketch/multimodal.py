@@ -12,7 +12,7 @@ Decode support has three tiers:
    genuine P6/WAV payloads and the JPEG round-trip query emits genuine
    JFIF bytes, so the image/audio pipelines run END-TO-END with real
    decoding in this environment.
-2. **Stubbed decoders** — PNG/MP4/progressive-JPEG etc. would need
+2. **Stubbed decoders** — MP4/progressive-JPEG etc. would need
    Pillow/ffmpeg, which are not installed here; those mimes raise
    ``NotImplementedError`` unless ``fake=True`` (deterministic fake
    pixels seeded from the payload hash) so the distributed plumbing

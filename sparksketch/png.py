@@ -4,11 +4,12 @@ stdlib ``zlib``).
 Closes the biggest real-world image-format gap behind the multimodal tier
 seam (round-3 VERDICT #6): baseline JPEG, PPM, WAV and MJPEG/AVI were
 already real; PNG is the other format a training corpus actually
-contains.  Scope: non-interlaced, bit depth 8, color types 0 (gray),
-2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — the overwhelming
-majority of real files.  Adam7 interlace and 16-bit samples raise an
-honest ``NotImplementedError`` (the documented seam where a codec
-library would slot in).
+contains.  Scope: bit depths 8 and 16 (16-bit reduced to 8 via the
+high byte), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+6 (RGBA), both non-interlaced and Adam7-interlaced — the overwhelming
+majority of real files.  Sub-byte depths (1/2/4-bit) raise an honest
+``NotImplementedError`` (the documented seam where a codec library
+would slot in).
 
 The decoder is used by ``multimodal.decode_image`` for any payload with
 the PNG signature; the encoder writes color-type-2 files with a
@@ -29,6 +30,10 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 
 # samples per pixel for each color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _chunk(kind: bytes, body: bytes) -> bytes:
@@ -68,22 +73,39 @@ def _filter_row(raw: np.ndarray, prev: np.ndarray,
     return best, (cands[best] & 0xFF).astype(np.uint8)
 
 
-def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
-    """(h, w, 3) uint8 -> color-type-2, bit-depth-8, non-interlaced PNG."""
+def _filter_pass(flat: np.ndarray, bpp: int, out: bytearray) -> None:
+    """Filter one (sub-)image's rows (min-SAD choice) into ``out``.
+    Each pass restarts with a zero prior row, per the spec: passes are
+    filtered as independent images."""
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
+    for y in range(flat.shape[0]):
+        fid, filt = _filter_row(flat[y], prev, bpp)
+        out.append(fid)
+        out += filt.tobytes()
+        prev = flat[y]
+
+
+def encode_png(pixels: np.ndarray, level: int = 6,
+               interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> color-type-2, bit-depth-8 PNG, sequential or
+    Adam7-interlaced."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError(f"encode_png expects (h, w, 3), got {px.shape}")
     h, w, _ = px.shape
     bpp = 3
-    flat = px.reshape(h, w * bpp)
     out = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
-        fid, filt = _filter_row(flat[y], prev, bpp)
-        out.append(fid)
-        out += filt.tobytes()
-        prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            _filter_pass(
+                np.ascontiguousarray(sub).reshape(sub.shape[0], -1),
+                bpp, out)
+    else:
+        _filter_pass(px.reshape(h, w * bpp), bpp, out)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(out), level))
             + _chunk(b"IEND", b""))
@@ -139,6 +161,31 @@ def _unfilter(data: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _deinterlace(data: np.ndarray, h: int, w: int,
+                 bpp: int) -> np.ndarray:
+    """Adam7: seven independently filtered sub-images concatenated in the
+    IDAT stream; unfilter each and scatter its pixels back onto the
+    (y0 + i*dy, x0 + j*dx) grid.  Returns (h, w*bpp) uint8 like
+    ``_unfilter``."""
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        w_p = (w - x0 + dx - 1) // dx
+        h_p = (h - y0 + dy - 1) // dy
+        if w_p <= 0 or h_p <= 0:
+            continue
+        nbytes = h_p * (w_p * bpp + 1)
+        if pos + nbytes > data.size:
+            raise ValueError("truncated Adam7 PNG pass data")
+        out[y0::dy, x0::dx] = _unfilter(
+            data[pos:pos + nbytes], h_p, w_p, bpp).reshape(h_p, w_p, bpp)
+        pos += nbytes
+    if pos != data.size:
+        raise ValueError(
+            f"Adam7 PNG data size {data.size} != expected {pos}")
+    return out.reshape(h, w * bpp)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB (palette resolved, gray
     broadcast, alpha dropped)."""
@@ -168,20 +215,33 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if depth not in (8, 16):
         raise NotImplementedError(
-            "Adam7-interlaced PNG not supported (tier seam)")
-    if depth != 8:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} not supported (tier seam; 8 only)")
+            f"PNG bit depth {depth} not supported (tier seam; 8/16 only)")
     if color not in _CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
-    bpp = _CHANNELS[color]
+    if depth == 16 and color == 3:
+        raise ValueError("palette PNG cannot be 16-bit")
+    nch = _CHANNELS[color]
+    # filters operate on BYTES with the pixel distance in bytes, so a
+    # 16-bit image just doubles bpp; samples are big-endian u16 after
+    bpp = nch * (depth // 8)
     data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if data.size != h * (w * bpp + 1):
-        raise ValueError(
-            f"PNG data size {data.size} != expected {h * (w * bpp + 1)}")
-    samples = _unfilter(data, h, w, bpp).reshape(h, w, bpp)
+    if interlace == 1:
+        raw = _deinterlace(data, h, w, bpp)
+    else:
+        if data.size != h * (w * bpp + 1):
+            raise ValueError(
+                f"PNG data size {data.size} != expected "
+                f"{h * (w * bpp + 1)}")
+        raw = _unfilter(data, h, w, bpp)
+    if depth == 16:
+        # reduce to 8-bit via the high (big-endian first) byte
+        raw = np.ascontiguousarray(raw).reshape(h, w, nch, 2)[..., 0] \
+            .reshape(h, w * nch)
+    samples = raw.reshape(h, w, nch)
     if color == 2:
         return samples
     if color == 6:

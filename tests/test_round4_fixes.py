@@ -268,18 +268,58 @@ class TestPNGCodec:
         blob = encode_png(self._grad_noise())
         with pytest.raises(ValueError, match="truncated"):
             decode_png(blob[:len(blob) // 2])
-        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlaced
+        # interlaced with a wrong stream size: 4x4 Adam7 passes need 55
+        # bytes, 52 given
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
         bad = (_SIG + _chunk(b"IHDR", ihdr)
                + _chunk(b"IDAT", zlib.compress(b"\0" * 52))
                + _chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError, match="Adam7"):
+        with pytest.raises(ValueError, match="Adam7"):
             decode_png(bad)
-        ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-        bad16 = (_SIG + _chunk(b"IHDR", ihdr16)
-                 + _chunk(b"IDAT", zlib.compress(b"\0" * 100))
-                 + _chunk(b"IEND", b""))
+        ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit gray
+        bad4 = (_SIG + _chunk(b"IHDR", ihdr4)
+                + _chunk(b"IDAT", zlib.compress(b"\0" * 12))
+                + _chunk(b"IEND", b""))
         with pytest.raises(NotImplementedError, match="bit depth"):
-            decode_png(bad16)
+            decode_png(bad4)
+
+    def test_adam7_interlaced_roundtrip_exact(self):
+        """Adam7: seven independently filtered sub-images; decode must
+        scatter every pass back to the exact grid positions."""
+        from sparksketch.png import decode_png, encode_png
+        # both a multiple-of-8 shape and a ragged one (exercises empty /
+        # partial passes)
+        for shape_seed in ((48, 64, 3), (13, 9, 11)):
+            h, w, seed = shape_seed
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blob = encode_png(px, interlace=True)
+            assert blob[8 + 8 + 12] == 1  # IHDR interlace byte
+            assert np.array_equal(decode_png(blob), px)
+
+    def test_16bit_decode_high_byte(self):
+        """16-bit RGB: filters run over bytes with bpp=6; the decoder
+        reduces to 8-bit via the big-endian high byte."""
+        import struct
+        import zlib
+        from sparksketch.png import _SIG, _chunk, decode_png
+        rng = np.random.default_rng(5)
+        h, w = 6, 4
+        px16 = rng.integers(0, 1 << 16, size=(h, w, 3), dtype=np.uint16)
+        be = px16.astype(">u2").view(np.uint8).reshape(h, w * 6)
+        rows = bytearray()
+        prev = np.zeros(w * 6, dtype=np.int16)
+        for r in range(h):
+            raw = be[r].astype(np.int16)
+            rows.append(2)  # Up filter, over bytes
+            rows += ((raw - prev) & 0xFF).astype(np.uint8).tobytes()
+            prev = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+        blob = (_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(blob),
+                              (px16 >> 8).astype(np.uint8))
 
     def test_decode_image_routes_png(self):
         from sparksketch.multimodal import decode_image
