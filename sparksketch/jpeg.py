@@ -1,15 +1,18 @@
-"""Pure-NumPy baseline JPEG (JFIF) codec — no codec library.
+"""Pure-NumPy JPEG (JFIF) codec — no codec library.
 
 Implements the baseline sequential DCT process of the public JPEG spec
 (ITU-T T.81): 8x8 block DCT, uniform quantization (Annex K example quant
 tables, quality-scaled per the common IJG rule), zigzag + DC-difference /
 AC run-length entropy coding with canonical Huffman tables, JFIF marker
-structure, 0xFF byte stuffing, and 4:4:4 or 4:2:0 chroma subsampling.
+structure, 0xFF byte stuffing, and 4:4:4 or 4:2:0 chroma subsampling —
+plus the PROGRESSIVE DCT process (SOF2, Annex G): spectral selection and
+successive approximation on both the decode and encode side, including
+the AC correction-bit refinement scans.
 
-The DECODER is generic baseline: it builds Huffman tables from whatever
-the DHT segments declare, reads sampling factors from SOF0, and handles
+The DECODER is generic: it builds Huffman tables from whatever the DHT
+segments declare, reads sampling factors from SOF0/SOF2, and handles
 grayscale / 4:4:4 / 4:2:0 streams with optional restart intervals — i.e.
-the structure a real-world baseline JPEG uses.  The ENCODER (used to
+the structure a real-world JPEG uses.  The ENCODER (used to
 synthesize test payloads, since this sandbox ships no image files or
 codec libraries) writes simple fixed-length canonical Huffman tables
 rather than the Annex K defaults; any conforming decoder reads them from
@@ -227,14 +230,174 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
 
 
+# ---------------------------------------------------------------------------
+# Progressive encoding (SOF2): DC scan + per-component spectral bands, each
+# at two successive-approximation levels (Al=1 then the Al=0 refinement) —
+# exercises every progressive scan kind a real encoder emits.
+# ---------------------------------------------------------------------------
+
+def _plane_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) plane, multiples of 8 -> (bv, bh, 64) quantized zigzag
+    coefficients via a batch DCT."""
+    bv, bh_ = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bv, 8, bh_, 8).transpose(0, 2, 1, 3)
+    c = np.einsum("ij,nmjk,kl->nmil", _A, blocks - 128.0, _A.T)
+    return np.round(c / q).astype(np.int64).reshape(bv, bh_, 64)[..., ZIGZAG]
+
+
+def _sos_header(comp_specs, ss: int, se: int, ah: int, al: int) -> bytes:
+    ns = len(comp_specs)
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid, td, ta in comp_specs:
+        out += bytes([cid, (td << 4) | ta])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def _emit_eobrun(w: _BitWriter, eobrun: int) -> int:
+    """Flush an accumulated cross-block EOB run as EOBn symbols (each
+    covers [2^rr, 2^(rr+1)) blocks via rr extension bits; max 32767)."""
+    while eobrun > 0:
+        chunk = min(eobrun, 32767)
+        rr = chunk.bit_length() - 1
+        code, length = _ENC_AC[rr << 4]
+        w.write(code, length)
+        if rr:
+            w.write(chunk - (1 << rr), rr)
+        eobrun -= chunk
+    return 0
+
+
+def _write_prog_dc_first(w, zzs, comps_hv, al: int) -> None:
+    ncomp = len(zzs)
+    mrows = zzs[0].shape[0] // comps_hv[0][1]
+    mcols = zzs[0].shape[1] // comps_hv[0][0]
+    preds = [0] * ncomp
+    for my in range(mrows):
+        for mx in range(mcols):
+            for ci in range(ncomp):
+                h_, v_ = comps_hv[ci]
+                for by in range(v_):
+                    for bx in range(h_):
+                        # DC point transform is an ARITHMETIC shift
+                        v = int(zzs[ci][my * v_ + by, mx * h_ + bx, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _size_cat(diff)
+                        code, length = _ENC_DC[s]
+                        w.write(code, length)
+                        if s:
+                            amp = diff if diff > 0 \
+                                else diff + (1 << s) - 1
+                            w.write(amp, s)
+
+
+def _write_prog_dc_refine(w, zzs, comps_hv, al: int) -> None:
+    mrows = zzs[0].shape[0] // comps_hv[0][1]
+    mcols = zzs[0].shape[1] // comps_hv[0][0]
+    for my in range(mrows):
+        for mx in range(mcols):
+            for ci, (h_, v_) in enumerate(comps_hv):
+                for by in range(v_):
+                    for bx in range(h_):
+                        v = int(zzs[ci][my * v_ + by, mx * h_ + bx, 0])
+                        w.write((v >> al) & 1, 1)
+
+
+def _write_prog_ac_first(w, zz, nbr, nbc, ss, se, al: int) -> None:
+    """AC 'first' scan: point transform is magnitude shift (toward zero);
+    all-zero bands accumulate into cross-block EOB runs."""
+    eobrun = 0
+    for by in range(nbr):
+        for bx in range(nbc):
+            band = zz[by, bx, ss:se + 1]
+            t = np.sign(band) * (np.abs(band) >> al)
+            nzi = np.flatnonzero(t)
+            if nzi.size == 0:
+                eobrun += 1
+                if eobrun == 32767:
+                    eobrun = _emit_eobrun(w, eobrun)
+                continue
+            eobrun = _emit_eobrun(w, eobrun)
+            run = 0
+            last = int(nzi.max())
+            for i in range(last + 1):
+                v = int(t[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _ENC_AC[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                s = _size_cat(v)
+                code, length = _ENC_AC[(run << 4) | s]
+                w.write(code, length)
+                amp = v if v > 0 else v + (1 << s) - 1
+                w.write(amp, s)
+                run = 0
+            if last < se - ss:
+                eobrun += 1
+    _emit_eobrun(w, eobrun)
+
+
+def _write_prog_ac_refine(w, zz, nbr, nbc, ss, se, al: int) -> None:
+    """AC refinement scan (T.81 G.1.2.3): newly significant coefficients
+    (|v|>>Al == 1) get (run, 1) symbols + a sign bit; already-nonzero
+    coefficients passed over emit buffered correction bits, flushed after
+    each symbol in the exact order the decoder's advance loop reads them.
+    EOBs are emitted per block (no cross-block refinement runs) — legal,
+    slightly less compact, and it keeps the bit buffer block-local."""
+    for by in range(nbr):
+        for bx in range(nbc):
+            band = zz[by, bx, ss:se + 1]
+            absv = np.abs(band) >> al
+            newly = np.flatnonzero(absv == 1)
+            eob_i = int(newly.max()) if newly.size else -1
+            run = 0
+            br: list[int] = []
+            for i in range(band.size):
+                t = int(absv[i])
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRLs only when another newly-significant coefficient
+                # follows; trailing zeros fold into the EOB instead
+                while run > 15 and i <= eob_i:
+                    code, length = _ENC_AC[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                if t > 1:  # already nonzero: one correction bit
+                    br.append(t & 1)
+                    continue
+                code, length = _ENC_AC[(run << 4) | 1]
+                w.write(code, length)
+                w.write(1 if band[i] > 0 else 0, 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                code, length = _ENC_AC[0x00]
+                w.write(code, length)
+                for b in br:
+                    w.write(b, 1)
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 85,
                 subsample: bool = False, restart_interval: int = 0,
-                gray: bool = False) -> bytes:
+                gray: bool = False, progressive: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0 with
     ``subsample=True``).  ``restart_interval`` emits a DRI segment and
     RSTn markers every that-many MCUs (the error-resilience feature real
     encoders use); ``gray=True`` writes a 1-component luminance-only
-    stream."""
+    stream.  ``progressive=True`` writes an SOF2 stream (interleaved DC
+    scan + per-component spectral bands, each successively approximated
+    Al=1 -> 0); it carries the SAME quantized coefficients as the baseline
+    stream, so both decode to identical pixels.  ``restart_interval`` is
+    ignored in progressive mode."""
     h, w = pixels.shape[:2]
     ql = _scaled_quant(QUANT_LUMA, quality).astype(np.float64)
     qc = _scaled_quant(QUANT_CHROMA, quality).astype(np.float64)
@@ -268,8 +431,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
             + bytes(int(v) for v in q.ravel()[ZIGZAG])
     ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
-                                      ncomp)  # SOF0
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)  # SOF0/SOF2
     out += bytes([1, (hs << 4) | vs, 0])       # Y
     if not gray:
         out += bytes([2, 0x11, 1, 3, 0x11, 1])  # Cb, Cr
@@ -280,14 +443,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
                                          (cls << 4) | tid) \
             + bytes(bits) + bytes(vals)
-    if restart_interval:
+    if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp) \
-        + (bytes([1, 0x00]) if gray
-           else bytes([1, 0x00, 2, 0x11, 3, 0x11])) \
-        + bytes([0, 63, 0])  # SOS
 
-    bw = _BitWriter()
     mcu_w, mcu_h = 8 * hs, 8 * vs
     mcols = (w + mcu_w - 1) // mcu_w
     mrows = (h + mcu_h - 1) // mcu_h
@@ -295,6 +453,59 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     ch, cw = mrows * 8, mcols * 8
     cbp = _pad_to_blocks(cb, ch, cw)
     crp = _pad_to_blocks(cr, ch, cw)
+
+    if progressive:
+        zz_all = [_plane_zz(yp, ql)]
+        hv = [(hs, vs)]
+        tds = [(1, 0, 0)]  # (component id, DC table, AC table)
+        dims = [(h, w)]
+        if not gray:
+            zz_all += [_plane_zz(cbp, qc), _plane_zz(crp, qc)]
+            hv += [(1, 1), (1, 1)]
+            tds += [(2, 1, 1), (3, 1, 1)]
+            dims += [((h + vs - 1) // vs, (w + hs - 1) // hs)] * 2
+        bands = ((1, 5), (6, 63))
+        # DC first (interleaved) at Al=1
+        out += _sos_header(tds, 0, 0, 0, 1)
+        bw = _BitWriter()
+        _write_prog_dc_first(bw, zz_all, hv, 1)
+        bw.flush()
+        out += bw.out
+        # AC first scans per band x component at Al=1
+        for lo, hi_ in bands:
+            for ci in range(len(zz_all)):
+                nbr = (dims[ci][0] + 7) // 8
+                nbc = (dims[ci][1] + 7) // 8
+                out += _sos_header([tds[ci]], lo, hi_, 0, 1)
+                bw = _BitWriter()
+                _write_prog_ac_first(bw, zz_all[ci], nbr, nbc, lo, hi_, 1)
+                bw.flush()
+                out += bw.out
+        # DC refinement to Al=0 (one raw bit per block)
+        out += _sos_header(tds, 0, 0, 1, 0)
+        bw = _BitWriter()
+        _write_prog_dc_refine(bw, zz_all, hv, 0)
+        bw.flush()
+        out += bw.out
+        # AC refinement scans to Al=0
+        for lo, hi_ in bands:
+            for ci in range(len(zz_all)):
+                nbr = (dims[ci][0] + 7) // 8
+                nbc = (dims[ci][1] + 7) // 8
+                out += _sos_header([tds[ci]], lo, hi_, 1, 0)
+                bw = _BitWriter()
+                _write_prog_ac_refine(bw, zz_all[ci], nbr, nbc, lo, hi_, 0)
+                bw.flush()
+                out += bw.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp) \
+        + (bytes([1, 0x00]) if gray
+           else bytes([1, 0x00, 2, 0x11, 3, 0x11])) \
+        + bytes([0, 63, 0])  # SOS
+
+    bw = _BitWriter()
     dc = [0, 0, 0]
     mcu_idx, rst = 0, 0
     for my in range(mrows):
@@ -350,6 +561,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    prog_state = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -394,30 +606,45 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 codes = _canonical_codes(bits, vals)
                 htables[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit precision supported")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} "
-                             "(baseline sequential only)")
+                             "(baseline sequential / progressive only)")
         elif marker == 0xDD:  # DRI
             restart = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan = {}
+            order = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(payload, pos, frame, scan, qtables,
-                                htables, restart)
+                order.append(cid)
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not frame["prog"]:
+                return _decode_scan(payload, pos, frame, scan, qtables,
+                                    htables, restart)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _init_prog_state(frame)
+            pos = _decode_prog_scan(payload, pos, frame, order, scan,
+                                    ss, se, ahal >> 4, ahal & 0xF,
+                                    htables, prog_state, restart)
+    if frame is not None and frame.get("prog") and prog_state is not None:
+        return _finish_prog(frame, prog_state, qtables)
     raise ValueError("no SOS segment found")
 
 
@@ -482,7 +709,203 @@ def _decode_scan(payload: bytes, pos: int, frame, scan, qtables, htables,
                         c0 = (mx * c["h"] + bx) * 8
                         planes[ci][r0:r0 + 8, c0:c0 + 8] = block
             mcu_idx += 1
-    # upsample every component to full frame resolution (nearest)
+    return _planes_to_rgb(planes, comps, fh, fw, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoding (SOF2, T.81 Annex G): each scan deposits one piece of
+# the coefficient picture — a spectral band at a given bit precision — and
+# reconstruction (dequant + IDCT) happens once, after the last scan.
+# ---------------------------------------------------------------------------
+
+def _init_prog_state(frame) -> dict:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcols = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mrows = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    # per component: MCU-padded block grid of zigzag-order coefficients
+    # (interleaved DC scans cover the padding blocks; non-interleaved AC
+    # scans cover only the component's own ceil(dim/8) grid)
+    coefs = {c["id"]: np.zeros((mrows * c["v"], mcols * c["h"], 64),
+                               dtype=np.int64) for c in comps}
+    return {"coefs": coefs, "hmax": hmax, "vmax": vmax,
+            "mrows": mrows, "mcols": mcols}
+
+
+def _comp_blocks(frame, c, state) -> tuple[int, int]:
+    """Non-interleaved block-grid dims: ceil(comp_dim/8) of the
+    component's actual (sampling-scaled) size — NOT the MCU-padded grid."""
+    ch = -(-frame["h"] * c["v"] // state["vmax"])
+    cw = -(-frame["w"] * c["h"] // state["hmax"])
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _skip_to_restart(r: _BitReader, payload: bytes) -> None:
+    r.align()
+    while r.pos + 1 < len(payload) and not (
+            payload[r.pos] == 0xFF
+            and 0xD0 <= payload[r.pos + 1] <= 0xD7):
+        r.pos += 1
+    if r.pos + 1 >= len(payload):
+        raise ValueError("missing restart marker")
+    r.pos += 2
+
+
+def _ac_first_block(r, actab, blk, ss, se, al, eobrun) -> int:
+    """One block of an AC 'first' scan (Ah=0): EOB runs, ZRL, coefficients
+    scaled by 2^Al (T.81 G.2 / F.2.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff_symbol(r, actab)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1 << rr) + ext blocks INCLUDING this one
+            return (1 << rr) - 1 + (r.read_bits(rr) if rr else 0)
+        k += rr
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _receive_extend(r, s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(r, actab, blk, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (Ah>0): newly significant
+    coefficients arrive as ±2^Al; every nonzero-history coefficient passed
+    over consumes one correction bit (T.81 G.2 successive approximation)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff_symbol(r, actab)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr < 15:
+                    eobrun = (1 << rr) + (r.read_bits(rr) if rr else 0)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude category")
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if r.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(payload, pos, frame, order, scan, ss, se, ah, al,
+                      htables, state, restart) -> int:
+    """Decode one progressive scan's entropy data into the coefficient
+    state; return the offset of the next marker."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    coefs = state["coefs"]
+    r = _BitReader(payload, pos)
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(order) > 1:  # interleaved: MCU order over the padded grid
+            units = []
+            for my in range(state["mrows"]):
+                for mx in range(state["mcols"]):
+                    mcu = []
+                    for cid in order:
+                        c = comps[cid]
+                        mcu += [(cid, my * c["v"] + by, mx * c["h"] + bx)
+                                for by in range(c["v"])
+                                for bx in range(c["h"])]
+                    units.append(mcu)
+        else:
+            cid = order[0]
+            nbr, nbc = _comp_blocks(frame, comps[cid], state)
+            units = [[(cid, by, bx)] for by in range(nbr)
+                     for bx in range(nbc)]
+        preds = dict.fromkeys(order, 0)
+        for ui, unit in enumerate(units):
+            if restart and ui and ui % restart == 0:
+                _skip_to_restart(r, payload)
+                preds = dict.fromkeys(order, 0)
+            for cid, by, bx in unit:
+                blk = coefs[cid][by, bx]
+                if ah == 0:
+                    s = _decode_huff_symbol(r, htables[(0, scan[cid][0])])
+                    preds[cid] += _receive_extend(r, s)
+                    blk[0] = preds[cid] << al
+                else:  # refinement: one bit per block
+                    blk[0] |= r.read_bit() << al
+    else:  # AC scan: T.81 mandates single-component, non-interleaved
+        if len(order) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid = order[0]
+        actab = htables[(1, scan[cid][1])]
+        nbr, nbc = _comp_blocks(frame, comps[cid], state)
+        arr = coefs[cid]
+        eobrun = 0
+        bi = 0
+        for by in range(nbr):
+            for bx in range(nbc):
+                if restart and bi and bi % restart == 0:
+                    _skip_to_restart(r, payload)
+                    eobrun = 0
+                bi += 1
+                if ah == 0:
+                    eobrun = _ac_first_block(r, actab, arr[by, bx],
+                                             ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(r, actab, arr[by, bx],
+                                              ss, se, al, eobrun)
+    # entropy data ends here; skip pad bytes to the next true marker
+    pos = r.pos
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 \
+                and not (0xD0 <= payload[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return pos
+
+
+def _finish_prog(frame, state, qtables) -> np.ndarray:
+    """Dequantize + batch-IDCT the accumulated coefficients."""
+    comps = frame["comps"]
+    planes = []
+    for c in comps:
+        zz = state["coefs"][c["id"]]
+        bv, bh_ = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz
+        x = nat.reshape(-1, 8, 8) * qtables[c["tq"]].astype(np.float64)
+        blocks = np.einsum("ij,njk,kl->nil", _A.T, x, _A) + 128.0
+        planes.append(blocks.reshape(bv, bh_, 8, 8).transpose(0, 2, 1, 3)
+                      .reshape(bv * 8, bh_ * 8))
+    return _planes_to_rgb(planes, comps, frame["h"], frame["w"],
+                          state["hmax"], state["vmax"])
+
+
+def _planes_to_rgb(planes, comps, fh, fw, hmax, vmax) -> np.ndarray:
+    """Upsample every component to full frame resolution (nearest) and
+    convert to RGB (grayscale replicated)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]

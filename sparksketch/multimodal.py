@@ -12,7 +12,7 @@ Decode support has three tiers:
    genuine P6/WAV payloads and the JPEG round-trip query emits genuine
    JFIF bytes, so the image/audio pipelines run END-TO-END with real
    decoding in this environment.
-2. **Stubbed decoders** — MP4/progressive-JPEG etc. would need
+2. **Stubbed decoders** — MP4 (H.264) etc. would need
    Pillow/ffmpeg, which are not installed here; those mimes raise
    ``NotImplementedError`` unless ``fake=True`` (deterministic fake
    pixels seeded from the payload hash) so the distributed plumbing
@@ -320,15 +320,18 @@ def image_features(df: DataFrame, fake: bool = False,
 
 def jpeg_roundtrip_features(spark, n: int = 48,
                             partitions: int = 4) -> DataFrame:
-    """Distributed baseline-JPEG encode -> decode round-trip over REAL
-    JFIF bytes (sparksketch/jpeg.py): each task synthesizes a smooth
-    analytic gradient per media_id, encodes it (alternating 4:4:4 and
-    4:2:0 chroma sampling), decodes the bytes back, and reports the error
-    against the analytic pixels.  The gradient stays linear (no %-wrap
-    edges), so quantization error at quality 90 is sub-LSB on the mean —
+    """Distributed JPEG encode -> decode round-trip over REAL JFIF bytes
+    (sparksketch/jpeg.py): each task synthesizes a smooth analytic
+    gradient per media_id, encodes it — media_id % 4 cycles baseline
+    4:4:4 / baseline 4:2:0 / PROGRESSIVE (SOF2) 4:4:4 / progressive
+    4:2:0 — decodes the bytes back, and reports the error against the
+    analytic pixels.  The gradient stays linear (no %-wrap edges), so
+    quantization error at quality 90 is sub-LSB on the mean —
     ``mean_err_ok`` bounds mean abs error <= 1.0 and max <= 16 (chroma
-    subsampling on color gradients), an accuracy contract a codec stub
-    could not fake."""
+    subsampling on color gradients), and for progressive images it ALSO
+    requires the decode to be byte-identical to the baseline decode of
+    the same pixels (both streams carry the same quantized
+    coefficients) — accuracy contracts a codec stub could not fake."""
     base = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"))
 
@@ -342,12 +345,18 @@ def jpeg_roundtrip_features(spark, n: int = 48,
             for mid in pdf["media_id"]:
                 px = np.clip(int(mid) % 16 + y * 2 + x + c * 40,
                              0, 255).astype(np.uint8)
-                blob = encode_jpeg(px, quality=90,
-                                   subsample=bool(int(mid) % 2))
+                sub = bool(int(mid) % 2)
+                prog = bool((int(mid) // 2) % 2)
+                blob = encode_jpeg(px, quality=90, subsample=sub,
+                                   progressive=prog)
                 out = decode_jpeg(blob)
                 err = np.abs(out.astype(np.float64) - px.astype(np.float64))
-                rows.append((mid, len(blob), out.shape == px.shape,
-                             bool(err.mean() <= 1.0 and err.max() <= 16)))
+                ok = bool(err.mean() <= 1.0 and err.max() <= 16)
+                if prog and ok:
+                    ok = np.array_equal(
+                        out, decode_jpeg(encode_jpeg(px, quality=90,
+                                                     subsample=sub)))
+                rows.append((mid, len(blob), out.shape == px.shape, ok))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "jpeg_bytes", "shape_ok", "mean_err_ok"])
 

@@ -93,12 +93,104 @@ class TestCodec:
         assert np.abs(out[..., 0].astype(float) - g.astype(float)).mean() \
             <= 1.0
 
-    def test_progressive_sof_rejected_not_garbled(self):
+    def test_unsupported_sof_rejected_not_garbled(self):
         blob = bytearray(encode_jpeg(_gradient(16, 16), 85))
         i = blob.find(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="baseline"):
+        blob[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+        with pytest.raises(ValueError, match="unsupported SOF"):
             decode_jpeg(bytes(blob))
+
+
+class TestProgressive:
+    """SOF2 progressive mode (T.81 Annex G): spectral selection +
+    successive approximation.  The progressive stream carries the SAME
+    quantized coefficients as the baseline stream, so the decoded pixels
+    must be IDENTICAL — a bit-exact contract no approximate check could
+    fake."""
+
+    @pytest.mark.parametrize("shape,kw", [
+        ((48, 64), {}),
+        ((13, 21), {}),                      # ragged, partial MCUs
+        ((48, 64), {"subsample": True}),     # 4:2:0
+        ((21, 19), {"subsample": True}),     # 4:2:0 + padding block rows
+        ((16, 16), {"gray": True}),
+        ((40, 40), {"quality": 50}),
+    ])
+    def test_identical_to_baseline(self, shape, kw):
+        rng = np.random.default_rng(11)
+        h, w = shape
+        grad = _gradient(h, w)
+        noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        px = np.where(np.arange(w)[None, :, None] < w // 2, grad, noise)
+        base = decode_jpeg(encode_jpeg(px, **kw))
+        prog = decode_jpeg(encode_jpeg(px, progressive=True, **kw))
+        assert np.array_equal(base, prog)
+
+    def test_stream_structure(self):
+        blob = encode_jpeg(_gradient(32, 32), progressive=True)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        # 1 DC first + 2 bands x 3 comps AC first + 1 DC refine
+        # + 2 bands x 3 comps AC refine = 14 scans
+        assert blob.count(b"\xff\xda") == 14
+        gray = encode_jpeg(_gradient(16, 16)[..., 0], gray=True,
+                           progressive=True)
+        assert gray.count(b"\xff\xda") == 6
+
+    def test_flat_image_long_eob_runs(self):
+        # every AC band is all-zero -> the whole component collapses to
+        # one EOBn run across all its blocks; flat images decode exactly
+        px = np.full((64, 80, 3), 133, dtype=np.uint8)
+        blob = encode_jpeg(px, progressive=True)
+        assert np.array_equal(decode_jpeg(blob), px)
+        # the 80 blocks/component of each AC FIRST scan fold into a
+        # single EOBn symbol (refine scans emit per-block EOBs by design)
+        import re
+        offs = [m.start() for m in re.finditer(b"\xff\xda", blob)]
+        ac_first_sizes = [offs[i + 1] - offs[i] for i in range(1, 7)]
+        assert all(sz < 16 for sz in ac_first_sizes), ac_first_sizes
+
+    def test_ac_refine_unit_adversarial_patterns(self):
+        """Drive the refinement encoder/decoder pair directly on the
+        bands where the correction-bit ordering is subtle: long zero runs
+        around already-nonzero coefficients (ZRL + buffered-bit flush),
+        trailing corrections folding into EOB, adjacent newly-significant
+        values."""
+        from sparksketch.jpeg import (_ENC_AC, _BitReader, _BitWriter,
+                                      _ac_refine_block,
+                                      _write_prog_ac_refine)
+        dec_tab = {(c, ln): s for s, (c, ln) in _ENC_AC.items()}
+
+        def roundtrip(band):
+            band = np.asarray(band, dtype=np.int64)
+            zz = np.zeros((1, 1, 64), dtype=np.int64)
+            zz[0, 0, 1:1 + band.size] = band
+            w = _BitWriter()
+            _write_prog_ac_refine(w, zz, 1, 1, 1, band.size, 0)
+            w.flush()
+            blk = np.zeros(64, dtype=np.int64)  # decoder state at Al=1
+            blk[1:1 + band.size] = np.sign(band) * (
+                (np.abs(band) >> 1) << 1)
+            r = _BitReader(bytes(w.out), 0)
+            _ac_refine_block(r, dec_tab, blk, 1, band.size, 0, 0)
+            assert np.array_equal(blk[1:1 + band.size], band), band
+
+        z = [0]
+        roundtrip(z * 20 + [1])                # run > 15 before newly-sig
+        roundtrip(z * 17 + [6] + z * 3 + [-1])  # ZRL + buffered bit flush
+        roundtrip([5, -4, 1, -1, 1])           # corrections + adjacent new
+        roundtrip([1] + z * 30 + [7])          # trailing t>1 folds to EOB
+        roundtrip(z * 40 + [-5])               # only corrections, no new
+        roundtrip(z * 63)                      # empty band -> bare EOB
+        rng = np.random.default_rng(23)
+        for _ in range(200):
+            band = rng.integers(-9, 10, size=63)
+            band[rng.random(63) < 0.8] = 0
+            roundtrip(band)
+
+    def test_truncated_progressive_fails_fast(self):
+        blob = encode_jpeg(_gradient(32, 32), progressive=True)
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:len(blob) // 3])
 
 
 class TestAviMjpeg:
