@@ -4,12 +4,11 @@ stdlib ``zlib``).
 Closes the biggest real-world image-format gap behind the multimodal tier
 seam (round-3 VERDICT #6): baseline JPEG, PPM, WAV and MJPEG/AVI were
 already real; PNG is the other format a training corpus actually
-contains.  Scope: bit depths 8 and 16 (16-bit reduced to 8 via the
-high byte), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-6 (RGBA), both non-interlaced and Adam7-interlaced — the overwhelming
-majority of real files.  Sub-byte depths (1/2/4-bit) raise an honest
-``NotImplementedError`` (the documented seam where a codec library
-would slot in).
+contains.  Scope: the full spec matrix a decoder meets in practice —
+bit depths 1/2/4 (gray + palette, unpacked big-endian and range-scaled),
+8, and 16 (reduced to 8 via the high byte); color types 0 (gray),
+2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); both non-interlaced and
+Adam7-interlaced streams.
 
 The decoder is used by ``multimodal.decode_image`` for any payload with
 the PNG signature; the encoder writes color-type-2 files with a
@@ -111,12 +110,20 @@ def encode_png(pixels: np.ndarray, level: int = 6,
             + _chunk(b"IEND", b""))
 
 
-def _unfilter(data: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse per-scanline filtering -> (h, w*bpp) uint8 of raw samples.
-    Sub is a groupwise cumulative sum (vectorized); Average/Paeth carry a
+def _scanline_stride(w: int, depth: int, nch: int) -> int:
+    """Scanline byte width: ceil(w * depth * nch / 8)."""
+    return (w * depth * nch + 7) // 8
+
+
+def _unfilter(data: np.ndarray, h: int, stride: int,
+              bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering -> (h, stride) uint8 of raw bytes.
+    ``stride`` is the scanline byte width, ``bpp`` the filter's pixel
+    distance in bytes (1 for sub-byte depths, per the spec).  Sub is a
+    groupwise cumulative sum (vectorized); Average/Paeth carry a
     left-neighbor recurrence, so they walk columns with the bpp channels
     vectorized."""
-    stride = w * bpp
+    w = stride // bpp
     rows = data.reshape(h, stride + 1)
     fids = rows[:, 0]
     raw = rows[:, 1:]
@@ -161,29 +168,48 @@ def _unfilter(data: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
-def _deinterlace(data: np.ndarray, h: int, w: int,
-                 bpp: int) -> np.ndarray:
+def _rows_to_samples(raw: np.ndarray, h: int, w: int, depth: int,
+                     nch: int) -> np.ndarray:
+    """(h, stride) unfiltered scanline bytes -> (h, w, nch) uint8 sample
+    values: sub-byte depths are unpacked big-endian (leftmost pixel in
+    the high bits), 16-bit reduces via the big-endian high byte."""
+    if depth == 8:
+        return raw[:, :w * nch].reshape(h, w, nch)
+    if depth == 16:
+        return np.ascontiguousarray(
+            raw[:, :w * nch * 2]).reshape(h, w, nch, 2)[..., 0]
+    bits = np.unpackbits(np.ascontiguousarray(raw),
+                         axis=1)[:, :w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8)[..., None]
+
+
+def _deinterlace(data: np.ndarray, h: int, w: int, depth: int,
+                 nch: int) -> np.ndarray:
     """Adam7: seven independently filtered sub-images concatenated in the
-    IDAT stream; unfilter each and scatter its pixels back onto the
-    (y0 + i*dy, x0 + j*dx) grid.  Returns (h, w*bpp) uint8 like
-    ``_unfilter``."""
-    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    IDAT stream (each with its own scanline byte width); unfilter each
+    and scatter its pixels back onto the (y0 + i*dy, x0 + j*dx) grid.
+    Returns (h, w, nch) uint8 samples like ``_rows_to_samples``."""
+    bpp = max(1, depth * nch // 8)
+    out = np.zeros((h, w, nch), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         w_p = (w - x0 + dx - 1) // dx
         h_p = (h - y0 + dy - 1) // dy
         if w_p <= 0 or h_p <= 0:
             continue
-        nbytes = h_p * (w_p * bpp + 1)
+        stride = _scanline_stride(w_p, depth, nch)
+        nbytes = h_p * (stride + 1)
         if pos + nbytes > data.size:
             raise ValueError("truncated Adam7 PNG pass data")
-        out[y0::dy, x0::dx] = _unfilter(
-            data[pos:pos + nbytes], h_p, w_p, bpp).reshape(h_p, w_p, bpp)
+        raw = _unfilter(data[pos:pos + nbytes], h_p, stride, bpp)
+        out[y0::dy, x0::dx] = _rows_to_samples(raw, h_p, w_p, depth, nch)
         pos += nbytes
     if pos != data.size:
         raise ValueError(
             f"Adam7 PNG data size {data.size} != expected {pos}")
-    return out.reshape(h, w * bpp)
+    return out
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -217,31 +243,33 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("bad PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} not supported (tier seam; 8/16 only)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {depth}")
     if color not in _CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"sub-byte depth {depth} only valid for "
+                         "gray/palette PNG")
     if depth == 16 and color == 3:
         raise ValueError("palette PNG cannot be 16-bit")
     nch = _CHANNELS[color]
-    # filters operate on BYTES with the pixel distance in bytes, so a
-    # 16-bit image just doubles bpp; samples are big-endian u16 after
-    bpp = nch * (depth // 8)
+    # filters operate on BYTES: pixel distance = bytes per pixel for
+    # depths >= 8 (so 16-bit just doubles it), 1 for sub-byte depths
+    bpp = max(1, depth * nch // 8)
     data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 1:
-        raw = _deinterlace(data, h, w, bpp)
+        samples = _deinterlace(data, h, w, depth, nch)
     else:
-        if data.size != h * (w * bpp + 1):
+        stride = _scanline_stride(w, depth, nch)
+        if data.size != h * (stride + 1):
             raise ValueError(
                 f"PNG data size {data.size} != expected "
-                f"{h * (w * bpp + 1)}")
-        raw = _unfilter(data, h, w, bpp)
-    if depth == 16:
-        # reduce to 8-bit via the high (big-endian first) byte
-        raw = np.ascontiguousarray(raw).reshape(h, w, nch, 2)[..., 0] \
-            .reshape(h, w * nch)
-    samples = raw.reshape(h, w, nch)
+                f"{h * (stride + 1)}")
+        samples = _rows_to_samples(_unfilter(data, h, stride, bpp),
+                                   h, w, depth, nch)
+    if color == 0 and depth < 8:
+        # scale sub-byte gray to full range (255 / (2^d - 1) is exact)
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
     if color == 2:
         return samples
     if color == 6:

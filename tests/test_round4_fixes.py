@@ -276,12 +276,92 @@ class TestPNGCodec:
                + _chunk(b"IEND", b""))
         with pytest.raises(ValueError, match="Adam7"):
             decode_png(bad)
-        ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit gray
-        bad4 = (_SIG + _chunk(b"IHDR", ihdr4)
+        ihdr3 = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)  # depth 3
+        bad3 = (_SIG + _chunk(b"IHDR", ihdr3)
                 + _chunk(b"IDAT", zlib.compress(b"\0" * 12))
                 + _chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError, match="bit depth"):
-            decode_png(bad4)
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(bad3)
+        ihdr2rgb = struct.pack(">IIBBBBB", 4, 4, 2, 2, 0, 0, 0)
+        bad2 = (_SIG + _chunk(b"IHDR", ihdr2rgb)
+                + _chunk(b"IDAT", zlib.compress(b"\0" * 16))
+                + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="sub-byte"):
+            decode_png(bad2)
+
+    def test_subbyte_gray_and_palette(self):
+        """1/2/4-bit scanlines: big-endian bit order (leftmost pixel in
+        the high bits), partial trailing byte, gray range scaling
+        (255/(2^d - 1) exact), palette indexing, and byte-level Up
+        filtering on packed rows."""
+        import struct
+        import zlib
+        from sparksketch.png import _SIG, _chunk, decode_png
+        rng = np.random.default_rng(9)
+        h, w = 6, 11  # 11 pixels: partial byte at every sub-byte depth
+        for depth in (1, 2, 4):
+            gray = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+            rows = bytearray()
+            prev = None
+            for r in range(h):
+                bits = ((gray[r][:, None]
+                         >> np.arange(depth - 1, -1, -1)) & 1).ravel()
+                packed = np.packbits(bits)  # big-endian, zero-padded
+                if prev is None or r % 2 == 0:
+                    rows.append(0)
+                    rows += packed.tobytes()
+                else:
+                    rows.append(2)  # Up filter over packed BYTES
+                    rows += ((packed.astype(np.int16) - prev) & 0xFF) \
+                        .astype(np.uint8).tobytes()
+                prev = packed.astype(np.int16)
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+            blob = (_SIG + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+                    + _chunk(b"IEND", b""))
+            scale = 255 // ((1 << depth) - 1)
+            assert np.array_equal(
+                decode_png(blob),
+                np.repeat((gray * scale)[:, :, None], 3, axis=2)), depth
+        # 4-bit palette
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+        rows = bytearray()
+        for r in range(h):
+            bits = ((idx[r][:, None] >> np.arange(3, -1, -1)) & 1).ravel()
+            rows.append(0)
+            rows += np.packbits(bits).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 0)
+        blob = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+                + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(blob), pal[idx])
+
+    def test_subbyte_interlaced(self):
+        """Adam7 + 2-bit gray: per-pass scanline byte widths differ and
+        every pass has its own partial trailing byte."""
+        import struct
+        import zlib
+        from sparksketch.png import _ADAM7, _SIG, _chunk, decode_png
+        rng = np.random.default_rng(17)
+        h, w, depth = 13, 9, 2
+        gray = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+        rows = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = gray[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for r in range(sub.shape[0]):
+                bits = ((sub[r][:, None]
+                         >> np.arange(depth - 1, -1, -1)) & 1).ravel()
+                rows.append(0)
+                rows += np.packbits(bits).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+        blob = (_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(
+            decode_png(blob), np.repeat((gray * 85)[:, :, None], 3, axis=2))
 
     def test_adam7_interlaced_roundtrip_exact(self):
         """Adam7: seven independently filtered sub-images; decode must
