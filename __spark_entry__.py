@@ -929,7 +929,7 @@ def q_stable_replay_check(spark, sf_dir):
     byte-for-byte.  The reference replay (this query's oracle work) runs
     on the driver over the gate-scale input; the booleans it produces are
     exact, making this a hash-checked entry rather than rows-only."""
-    from sparksketch.agg import H2_SEED, stable_build
+    from sparksketch.agg import stable_build
     from sparksketch.shape import Shape, StableShape
     from sparksketch.sketches import StableBloomFilter
     from sparksketch.transcripts import transcripts_from_events
@@ -944,14 +944,13 @@ def q_stable_replay_check(spark, sf_dir):
     # Spark's HashPartitioning), same in-partition sort, same seeds
     pdf = (tr.select(F.pmod(F.hash("conv_id"), F.lit(P)).alias("pid"),
                      "conv_id", "turn_idx",
-                     F.xxhash64("text").alias("h1"),
-                     F.xxhash64(F.lit(H2_SEED), "text").alias("h2"))
+                     F.xxhash64("text").alias("h1"))
            .toPandas())
     all_match = True
     for pid, sub in pdf.groupby("pid"):
         sub = sub.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         ref = StableBloomFilter(ss, seed=seed ^ (int(pid) * 0x9E3779B1))
-        ref.insert_hashes(sub["h1"].to_numpy(), sub["h2"].to_numpy())
+        ref.insert_hashes(sub["h1"].to_numpy())
         if ref.to_bytes() != parts.get(int(pid)):
             all_match = False
     return spark.createDataFrame(

@@ -2,9 +2,14 @@
 
 Execution design (SURVEY.md §4, BASELINE.json north_rule):
 
-- **Hash in the JVM.** Items are hashed with Spark's built-in ``xxhash64``
-  (whole-stage-codegen, vectorized) into an (h1, h2) 64-bit pair; Python only
-  does closed-form EDH arithmetic on whole Arrow batches.  No per-row Python.
+- **Hash in the JVM, ship ONE hash.** Items are hashed with Spark's
+  built-in ``xxhash64`` (whole-stage-codegen, vectorized) into h1; the
+  secondary EDH hash is derived worker-side by a SplitMix64 remix
+  (``hashing.derive_h2``, applied by every sketch API when h2 is
+  omitted), so a single hash column crosses the Arrow boundary — the
+  crossing is the build's measured scaling bottleneck (BENCH.md) and
+  hash bytes are its payload.  Python only does closed-form EDH
+  arithmetic on whole Arrow batches.  No per-row Python.
 - **Partial aggregation.** ``pandas_udf(GROUPED_AGG)`` has no map-side
   combine, so global sketches are built with ``mapInPandas`` — ONE sketch row
   per input partition, built fully vectorized — then merged with
@@ -43,7 +48,9 @@ from .sketches import (BloomFilter, BottomKSketch, CountMinSketch,
                        TDigest, merge_blob_list, sketch_from_bytes)
 from .sketches.base import Sketch
 
-H2_SEED = 0xB10F  # literal mixed into the second xxhash64
+# The secondary EDH hash no longer crosses the Arrow boundary: it is
+# derived worker-side from h1 (hashing.derive_h2) — the crossing is the
+# build's measured bottleneck and hash bytes are its payload.
 
 PARTIAL_SCHEMA = "pid long, sketch binary, rows long"
 
@@ -81,7 +88,6 @@ def _null_last(key: tuple) -> tuple:
 class SketchSpec:
     """Describes one sketch aggregation: key columns -> sketch kind."""
 
-    needs_h2: bool = field(default=True, init=False)
     value_col: str | None = field(default=None, init=False)
 
     def empty(self) -> Sketch:
@@ -98,15 +104,13 @@ class SketchSpec:
         return len(self.empty().to_bytes())
 
     # columns the update() step reads from the Arrow batch
-    BATCH_COLS: ClassVar[tuple[str, ...]] = ("h1", "h2", "value")
+    BATCH_COLS: ClassVar[tuple[str, ...]] = ("h1", "value")
 
     def prepare_exprs(self, cols: Sequence[str | Column],
                       prefix: str = "") -> list[Column]:
         """JVM-side column expressions feeding this sketch's update step —
         these are the ONLY columns that cross the Arrow boundary."""
         out = [F.xxhash64(*cols).alias(prefix + "h1")]
-        if self.needs_h2:
-            out.append(F.xxhash64(F.lit(H2_SEED), *cols).alias(prefix + "h2"))
         if self.value_col is not None:
             out.append(F.col(self.value_col).cast("double")
                        .alias(prefix + "value"))
@@ -128,7 +132,7 @@ class BloomSpec(SketchSpec):
         return BloomFilter(self.shape)
 
     def update(self, sk, pdf) -> None:
-        sk.add_hashes(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+        sk.add_hashes(pdf["h1"].to_numpy())
 
 
 @dataclass(frozen=True)
@@ -142,15 +146,12 @@ class CountingBloomSpec(SketchSpec):
         return CountingBloomFilter(self.shape, cell_bits=self.cell_bits)
 
     def update(self, sk, pdf) -> None:
-        sk.add_hashes(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+        sk.add_hashes(pdf["h1"].to_numpy())
 
 
 @dataclass(frozen=True)
 class HLLSpec(SketchSpec):
     p: int = 14
-
-    def __post_init__(self):
-        object.__setattr__(self, "needs_h2", False)
 
     def empty(self) -> Sketch:
         return HyperLogLog(self.p)
@@ -168,7 +169,7 @@ class CMSSpec(SketchSpec):
         return CountMinSketch(self.w, self.d)
 
     def update(self, sk, pdf) -> None:
-        sk.add_hashes(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+        sk.add_hashes(pdf["h1"].to_numpy())
 
 
 @dataclass(frozen=True)
@@ -177,7 +178,6 @@ class KLLSpec(SketchSpec):
     col: str = "value"
 
     def __post_init__(self):
-        object.__setattr__(self, "needs_h2", False)
         object.__setattr__(self, "value_col", self.col)
 
     def empty(self) -> Sketch:
@@ -196,7 +196,6 @@ class TDigestSpec(SketchSpec):
     col: str = "value"
 
     def __post_init__(self):
-        object.__setattr__(self, "needs_h2", False)
         object.__setattr__(self, "value_col", self.col)
 
     def empty(self) -> Sketch:
@@ -215,7 +214,6 @@ class BottomKSpec(SketchSpec):
     col: str | None = None  # optional payload value column
 
     def __post_init__(self):
-        object.__setattr__(self, "needs_h2", False)
         object.__setattr__(self, "value_col", self.col)
 
     def empty(self) -> Sketch:
@@ -234,9 +232,6 @@ class MinHashSpec(SketchSpec):
     n_perm: int = 128
     seed: int = 42
 
-    def __post_init__(self):
-        object.__setattr__(self, "needs_h2", False)
-
     def empty(self) -> Sketch:
         return MinHashSketch(self.n_perm, self.seed)
 
@@ -253,12 +248,11 @@ class LayeredBloomSpec(SketchSpec):
     def __post_init__(self):
         object.__setattr__(self, "value_col", None)
 
-    BATCH_COLS = ("layer", "h1", "h2")
+    BATCH_COLS = ("layer", "h1")
 
     def prepare_exprs(self, cols, prefix=""):
         return [F.col(self.layer_col).cast("long").alias(prefix + "layer"),
-                F.xxhash64(*cols).alias(prefix + "h1"),
-                F.xxhash64(F.lit(H2_SEED), *cols).alias(prefix + "h2")]
+                F.xxhash64(*cols).alias(prefix + "h1")]
 
     def empty(self) -> Sketch:
         return LayeredBloomFilter(self.shape)
@@ -268,8 +262,7 @@ class LayeredBloomSpec(SketchSpec):
         return 64 + 64 * (self.shape.num_words * 8 + 8)
 
     def update(self, sk, pdf) -> None:
-        sk.add_hashes(pdf["layer"].to_numpy(),
-                      pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+        sk.add_hashes(pdf["layer"].to_numpy(), pdf["h1"].to_numpy())
 
 
 # --------------------------------------------------------------------------
@@ -915,13 +908,12 @@ def with_might_contain(df: DataFrame, blob: bytes,
     token, bc, inline = _ship_blob(df, blob)
 
     @F.pandas_udf(BooleanType())
-    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+    def probe(h1: pd.Series) -> pd.Series:
         sk = (_probe_sketch(token, bc, inline) if bc is not None
               else _cached_sketch(inline))
-        return pd.Series(sk.contains_hashes(h1.to_numpy(), h2.to_numpy()))
+        return pd.Series(sk.contains_hashes(h1.to_numpy()))
 
-    return df.withColumn(
-        out_col, probe(F.xxhash64(*cols), F.xxhash64(F.lit(H2_SEED), *cols)))
+    return df.withColumn(out_col, probe(F.xxhash64(*cols)))
 
 
 def with_layer_find(df: DataFrame, blob: bytes,
@@ -937,13 +929,12 @@ def with_layer_find(df: DataFrame, blob: bytes,
     token, bc, inline = _ship_blob(df, blob)
 
     @F.pandas_udf("array<long>")
-    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+    def probe(h1: pd.Series) -> pd.Series:
         sk = (_probe_sketch(token, bc, inline, decode_acc)
               if bc is not None else _cached_sketch(inline))
-        return pd.Series(sk.find_hashes(h1.to_numpy(), h2.to_numpy()))
+        return pd.Series(sk.find_hashes(h1.to_numpy()))
 
-    return df.withColumn(
-        out_col, probe(F.xxhash64(*cols), F.xxhash64(F.lit(H2_SEED), *cols)))
+    return df.withColumn(out_col, probe(F.xxhash64(*cols)))
 
 
 def with_keyed_layer_find(df: DataFrame, blobs: dict,
@@ -960,22 +951,21 @@ def with_keyed_layer_find(df: DataFrame, blobs: dict,
     token, bc, inline = _ship_blob(df, dict(blobs))
 
     @F.pandas_udf("array<long>")
-    def probe(keys: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
-        kn, h1n, h2n = keys.to_numpy(), h1.to_numpy(), h2.to_numpy()
+    def probe(keys: pd.Series, h1: pd.Series) -> pd.Series:
+        kn, h1n = keys.to_numpy(), h1.to_numpy()
         out: list = [[]] * len(keys)
         for k in pd.unique(keys):
             mask = kn == k
             sk = _probe_keyed_sketch(token, bc, inline, k, decode_acc)
             if sk is None:
                 continue
-            hits = sk.find_hashes(h1n[mask], h2n[mask])
+            hits = sk.find_hashes(h1n[mask])
             for pos, h in zip(np.flatnonzero(mask), hits):
                 out[pos] = h
         return pd.Series(out)
 
     return df.withColumn(
-        out_col, probe(F.col(key_col), F.xxhash64(*cols),
-                       F.xxhash64(F.lit(H2_SEED), *cols)))
+        out_col, probe(F.col(key_col), F.xxhash64(*cols)))
 
 
 def bloom_semijoin(probe_df: DataFrame, probe_cols: Sequence[str],
@@ -1107,13 +1097,12 @@ def cms_lookup(df: DataFrame, blob: bytes,
     token, bc, inline = _ship_blob(df, blob)
 
     @F.pandas_udf(LongType())
-    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+    def probe(h1: pd.Series) -> pd.Series:
         sk = (_probe_sketch(token, bc, inline) if bc is not None
               else _cached_sketch(inline))
-        return pd.Series(sk.query_hashes(h1.to_numpy(), h2.to_numpy()))
+        return pd.Series(sk.query_hashes(h1.to_numpy()))
 
-    return df.withColumn(
-        out_col, probe(F.xxhash64(*cols), F.xxhash64(F.lit(H2_SEED), *cols)))
+    return df.withColumn(out_col, probe(F.xxhash64(*cols)))
 
 
 def fill_layered_build(df: DataFrame, shape: Shape, target_n: int,
@@ -1147,9 +1136,7 @@ def fill_layered_build(df: DataFrame, shape: Shape, target_n: int,
                   .repartition(nparts, "_stream")
                   .sortWithinPartitions("_stream", *order_cols))
     prepared = arranged.select(
-        F.col("_stream"),
-        F.xxhash64(*cols).alias("h1"),
-        F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
+        F.col("_stream"), F.xxhash64(*cols).alias("h1"))
     stype = dict(prepared.dtypes)["_stream"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1166,8 +1153,7 @@ def fill_layered_build(df: DataFrame, shape: Shape, target_n: int,
                     sk = sks[val] = FillLayeredBloomFilter(
                         shape, target_n, max_layers=max_layers)
                     rows[val] = 0
-                sk.insert_hashes(sub["h1"].to_numpy(),
-                                 sub["h2"].to_numpy())
+                sk.insert_hashes(sub["h1"].to_numpy())
                 rows[val] += len(sub)
         if sks:
             keys = sorted(sks, key=lambda v: _null_last((v,)))
@@ -1203,9 +1189,7 @@ def stable_build(df: DataFrame, sshape: StableShape,
     nparts = num_partitions or df.rdd.getNumPartitions()
     arranged = (df.repartition(nparts, partition_col)
                   .sortWithinPartitions(partition_col, *order_cols))
-    prepared = arranged.select(
-        F.xxhash64(*cols).alias("h1"),
-        F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
+    prepared = arranged.select(F.xxhash64(*cols).alias("h1"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -1214,7 +1198,7 @@ def stable_build(df: DataFrame, sshape: StableShape,
         rows = 0
         for pdf in batches:
             if len(pdf):
-                sk.insert_hashes(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+                sk.insert_hashes(pdf["h1"].to_numpy())
                 rows += len(pdf)
         yield pd.DataFrame({"pid": [pid], "sketch": [sk.to_bytes()],
                             "rows": [rows]})

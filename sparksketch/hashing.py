@@ -11,8 +11,12 @@ closes to ``idx_i = unsigned_mod(h1 - i*h2 + (i^3 - i)/6, m)`` under 64-bit
 two's-complement wrap-around, which we vectorize over whole Arrow batches with
 NumPy int64 wrap-around arithmetic (matching Java long overflow semantics).
 
-All heavy per-row hashing stays JVM-side: Spark's ``xxhash64(cols, seed)``
-produces (h1, h2); Python only does the closed-form arithmetic below.
+All heavy per-row hashing stays JVM-side: Spark's ``xxhash64(cols)``
+produces h1; the secondary hash is derived Python-side by ``derive_h2``
+(a SplitMix64 remix), so only ONE hash column crosses the Arrow boundary —
+the crossing is the measured scaling bottleneck of the build (BENCH.md),
+and hash bytes are its payload.  Python otherwise only does the
+closed-form arithmetic below.
 """
 
 from __future__ import annotations
@@ -30,12 +34,15 @@ def _tetra(i: np.ndarray) -> np.ndarray:
         return (i * i * i - i) // 6
 
 
-def edh_indices(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+def edh_indices(h1: np.ndarray, h2: np.ndarray | None, k: int,
+                m: int) -> np.ndarray:
     """Enhanced-double-hash probe matrix.
 
     Parameters
     ----------
-    h1, h2 : int64 arrays of length n (signed, Java-long-compatible)
+    h1, h2 : int64 arrays of length n (signed, Java-long-compatible);
+        ``h2=None`` derives the secondary hash via ``derive_h2`` — the
+        single convention every build and probe path shares
     k : number of probes per row
     m : table size
 
@@ -43,6 +50,8 @@ def edh_indices(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     -------
     (n, k) int64 matrix of indices in [0, m).
     """
+    if h2 is None:
+        h2 = derive_h2(h1)
     h1 = np.asarray(h1, dtype=np.int64).reshape(-1, 1)
     h2 = np.asarray(h2, dtype=np.int64).reshape(-1, 1)
     i = np.arange(k, dtype=np.int64).reshape(1, -1)
@@ -52,9 +61,32 @@ def edh_indices(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     return (raw.view(_U64) % _U64(m)).astype(np.int64)
 
 
-def edh_indices_flat(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+def edh_indices_flat(h1: np.ndarray, h2: np.ndarray | None, k: int,
+                     m: int) -> np.ndarray:
     """Flattened (n*k,) variant for np.add.at / bincount-style updates."""
     return edh_indices(h1, h2, k, m).ravel()
+
+
+# fixed remix constant for the derived secondary hash — part of the wire
+# contract: build and probe sides must agree, so it can never change
+H2_MIX = 0xB10F5EED9E3779B9
+
+
+def derive_h2(h1: np.ndarray) -> np.ndarray:
+    """Secondary EDH hash derived from the primary by a SplitMix64 remix
+    of ``h1 ^ H2_MIX``.
+
+    Rationale: the Kirsch–Mitzenmacher scheme wants two hashes, but
+    shipping a second ``xxhash64`` column doubles the hash bytes crossing
+    the Arrow boundary — the measured local-mode scaling bottleneck of
+    the build (BENCH.md size sweep).  Deriving h2 from h1 is the same
+    move Guava's BloomFilter makes (both probe seeds from one hash call),
+    done here with a full-width avalanche remix instead of a 32/32 bit
+    split.  A full-pair collision between distinct keys still requires an
+    h1 collision (2^-64), and every sketch API applies this convention
+    whenever h2 is omitted, so build and probe stay consistent."""
+    return splitmix64(np.asarray(h1, dtype=np.int64).view(_U64)
+                      ^ _U64(H2_MIX)).view(_I64)
 
 
 def splitmix64(x: np.ndarray | int) -> np.ndarray:

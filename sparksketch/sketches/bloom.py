@@ -37,7 +37,7 @@ class BloomFilter(Sketch):
         self.words = words
 
     # -- updates ------------------------------------------------------------
-    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> None:
         """Vectorized insert of a batch of items given their (h1, h2) pairs."""
         if len(h1) == 0:
             return
@@ -71,7 +71,7 @@ class BloomFilter(Sketch):
         np.bitwise_or(self.words, other.words, out=self.words)
 
     # -- queries ------------------------------------------------------------
-    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
         """Vectorized ALL-of-k membership over a batch -> bool array."""
         n = len(h1)
         if n == 0:
@@ -139,7 +139,7 @@ class SparseBloomFilter(Sketch):
                 f"Filter only accepts values in the [0,{self.shape.m}) range")
         self.indices = np.union1d(self.indices, idx)
 
-    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> None:
         if len(h1) == 0:
             return
         self.set_indices(edh_indices_flat(h1, h2, self.shape.k, self.shape.m))

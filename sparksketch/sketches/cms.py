@@ -39,10 +39,10 @@ class CountMinSketch(Sketch):
         return CountMinSketch(w=int(math.ceil(math.e / eps)),
                               d=int(math.ceil(math.log(1.0 / delta))))
 
-    def _cols(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    def _cols(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
         return edh_indices(h1, h2, self.d, self.w)  # (n, d)
 
-    def add_hashes(self, h1: np.ndarray, h2: np.ndarray,
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None,
                    counts: np.ndarray | None = None) -> None:
         n = len(h1)
         if n == 0:
@@ -55,7 +55,7 @@ class CountMinSketch(Sketch):
         for i in range(self.d):
             np.add.at(self.table[i], cols[:, i], counts)
 
-    def query_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    def query_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
         n = len(h1)
         if n == 0:
             return np.zeros(0, dtype=np.int64)

@@ -65,7 +65,7 @@ class CountingBloomFilter(Sketch):
         flat = srt[first]
         return np.bincount(flat, minlength=self.shape.m).astype(np.int64)
 
-    def _unique_idx_counts(self, h1: np.ndarray, h2: np.ndarray):
+    def _unique_idx_counts(self, h1: np.ndarray, h2: np.ndarray | None = None):
         return self._matrix_counts(
             edh_indices(h1, h2, self.shape.k, self.shape.m))
 
@@ -80,13 +80,13 @@ class CountingBloomFilter(Sketch):
             raise ValueError("index out of range")
         return np.bincount(flat, minlength=self.shape.m).astype(np.int64)
 
-    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> None:
         if len(h1) == 0:
             return
         self.cells += self._unique_idx_counts(h1, h2)
         self._saturate()
 
-    def subtract_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def subtract_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> None:
         if len(h1) == 0:
             return
         self.cells -= self._unique_idx_counts(h1, h2)
@@ -106,7 +106,7 @@ class CountingBloomFilter(Sketch):
         if (self.cells < 0).any():
             self.valid = False
 
-    def apply_cell_op(self, op, h1: np.ndarray, h2: np.ndarray,
+    def apply_cell_op(self, op, h1: np.ndarray, h2: np.ndarray | None = None,
                       value: int = 1) -> None:
         """Generalized cell operator — the commons ``BufferManager.func(
         entry, value, IntBinaryOperator)`` contract (reference
@@ -164,7 +164,7 @@ class CountingBloomFilter(Sketch):
         if (self.cells < 0).any():
             self.valid = False
 
-    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
         n = len(h1)
         if n == 0:
             return np.zeros(0, dtype=bool)

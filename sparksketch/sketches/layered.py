@@ -42,7 +42,7 @@ class LayeredBloomFilter(Sketch):
             self.layers[key] = w
         return w
 
-    def add_hashes(self, keys: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> None:
+    def add_hashes(self, keys: np.ndarray, h1: np.ndarray, h2: np.ndarray | None = None) -> None:
         """Batch insert: row i goes to layer ``keys[i]``."""
         keys = np.asarray(keys, dtype=np.int64)
         if keys.size == 0:
@@ -76,7 +76,7 @@ class LayeredBloomFilter(Sketch):
         self.max_layers = max(self.max_layers, other.max_layers)
         self._evict()
 
-    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
         """True where ANY layer contains the item."""
         n = len(h1)
         if n == 0:
@@ -89,7 +89,7 @@ class LayeredBloomFilter(Sketch):
             out |= ((w[word] & bit) != 0).all(axis=1)
         return out
 
-    def find_hashes(self, h1: np.ndarray, h2: np.ndarray) -> list[list[int]]:
+    def find_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> list[list[int]]:
         """Per row, the sorted list of layer keys containing the item
         (commons `find`)."""
         n = len(h1)
@@ -206,7 +206,7 @@ class FillLayeredBloomFilter:
 
     _CHUNK = 2048  # bound each advance's rescan window
 
-    def insert_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def insert_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> None:
         """Ordered replay of a batch: items are inserted in array order;
         the advance predicate is evaluated BEFORE each item (commons
         extendCheck-then-merge), vectorized per layer segment.
@@ -223,8 +223,9 @@ class FillLayeredBloomFilter:
             return
         if n > self._chunk:
             for s in range(0, n, self._chunk):
-                self.insert_hashes(h1[s:s + self._chunk],
-                                   h2[s:s + self._chunk])
+                self.insert_hashes(
+                    h1[s:s + self._chunk],
+                    None if h2 is None else h2[s:s + self._chunk])
             return
         idx = edh_indices(h1, h2, self.shape.k, self.shape.m)
         start = 0
@@ -270,10 +271,10 @@ class FillLayeredBloomFilter:
             if start < n:
                 self._advance()
 
-    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
         return self.as_layered().contains_hashes(h1, h2)
 
-    def find_hashes(self, h1: np.ndarray, h2: np.ndarray) -> list[list[int]]:
+    def find_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> list[list[int]]:
         return self.as_layered().find_hashes(h1, h2)
 
     def as_layered(self) -> LayeredBloomFilter:

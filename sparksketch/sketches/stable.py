@@ -102,7 +102,7 @@ class StableBloomFilter(Sketch):
         self._decrement()
         self.cells[idx] = self.sshape.max
 
-    def insert_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def insert_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> None:
         """Ordered replay of a batch: rows applied in array order.
 
         Decrement draws for the whole batch are generated in one vectorized
@@ -123,7 +123,7 @@ class StableBloomFilter(Sketch):
             cells[set_idx[r]] = mx
 
     def insert_hashes_flagged(self, h1: np.ndarray,
-                              h2: np.ndarray) -> np.ndarray:
+                              h2: np.ndarray | None = None) -> np.ndarray:
         """Ordered replay returning the pre-insert membership flag per row —
         the SIGMOD'06 stream-dedup primitive ("seen recently?"): probe the k
         cells BEFORE decrement+set, then insert.  Same cell-state evolution
@@ -149,7 +149,7 @@ class StableBloomFilter(Sketch):
     def contains_indices(self, idx: np.ndarray) -> bool:
         return bool((self.cells[np.asarray(idx, dtype=np.int64)] != 0).all())
 
-    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
         n = len(h1)
         if n == 0:
             return np.zeros(0, dtype=bool)

@@ -10,8 +10,9 @@ every aggregation here produces) are queryable from PURE SQL::
 All functions are Arrow-batched pandas UDFs over KB-scale sketch blobs
 (sketch ROWS, never data rows — at 100 TB these run over the O(groups)
 aggregation output).  Membership/count probes take the same JVM
-``xxhash64`` hash pair the DataFrame API uses: hash SQL-side with
-``xxhash64(item)`` and ``xxhash64({H2_SEED}, item)``.
+``xxhash64`` hash the DataFrame API uses: hash SQL-side with
+``xxhash64(item)``; the secondary EDH hash is derived worker-side
+(hashing.derive_h2), so only one hash crosses per probe.
 
 Per-batch decode is deduplicated by blob identity, so probing many rows
 against few distinct sketches decodes each sketch once per batch.
@@ -23,10 +24,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
-from .agg import H2_SEED
 from .sketches import merge_bytes, sketch_from_bytes
 
-__all__ = ["register_sql_functions", "H2_SEED"]
+__all__ = ["register_sql_functions"]
 
 
 def _per_blob_groups(blobs: pd.Series):
@@ -67,21 +67,19 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         return pd.Series(out)
 
     @F.pandas_udf("boolean")
-    def sketch_contains(blobs: pd.Series, h1: pd.Series,
-                        h2: pd.Series) -> pd.Series:
+    def sketch_contains(blobs: pd.Series, h1: pd.Series) -> pd.Series:
         out = np.zeros(len(blobs), dtype=bool)
-        h1n, h2n = h1.to_numpy(), h2.to_numpy()
+        h1n = h1.to_numpy()
         for sk, idxs in _per_blob_groups(blobs):
-            out[idxs] = sk.contains_hashes(h1n[idxs], h2n[idxs])
+            out[idxs] = sk.contains_hashes(h1n[idxs])
         return pd.Series(out)
 
     @F.pandas_udf("long")
-    def sketch_cms_count(blobs: pd.Series, h1: pd.Series,
-                         h2: pd.Series) -> pd.Series:
+    def sketch_cms_count(blobs: pd.Series, h1: pd.Series) -> pd.Series:
         out = np.zeros(len(blobs), dtype=np.int64)
-        h1n, h2n = h1.to_numpy(), h2.to_numpy()
+        h1n = h1.to_numpy()
         for sk, idxs in _per_blob_groups(blobs):
-            out[idxs] = sk.query_hashes(h1n[idxs], h2n[idxs])
+            out[idxs] = sk.query_hashes(h1n[idxs])
         return pd.Series(out)
 
     @F.pandas_udf("binary")

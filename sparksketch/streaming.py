@@ -33,7 +33,7 @@ from typing import Iterator, Sequence, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .agg import H2_SEED, SketchSpec, grouped_sketch
+from .agg import SketchSpec, grouped_sketch
 from .shape import StableShape
 from .sketches import merge_blob_list, sketch_from_bytes
 from .sketches.stable import StableBloomFilter
@@ -80,8 +80,7 @@ def _make_stable_dedup_fn(sshape: StableShape, key_col: str,
             pdf = (pd.concat(chunks, ignore_index=True)
                    if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(order_cols, kind="mergesort")
-            flags = sk.insert_hashes_flagged(pdf["h1"].to_numpy(),
-                                             pdf["h2"].to_numpy())
+            flags = sk.insert_hashes_flagged(pdf["h1"].to_numpy())
             out = pdf[[key_col, *order_cols]].copy()
             out["is_dup"] = flags
             yield out
@@ -120,8 +119,7 @@ def stable_dedup_stream(df: DataFrame, sshape: StableShape,
     order_t = dict(df.dtypes)
     prepared = df.select(
         F.col(key_col), *[F.col(c) for c in order_cols],
-        F.xxhash64(*cols).alias("h1"),
-        F.xxhash64(F.lit(H2_SEED), *cols).alias("h2"))
+        F.xxhash64(*cols).alias("h1"))
 
     out_schema = ", ".join(
         [f"`{key_col}` {key_t}"]

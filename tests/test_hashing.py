@@ -83,3 +83,54 @@ def test_splitmix_and_bytes_hash_deterministic():
     assert hash_bytes64(b"abc") == hash_bytes64(b"abc")
     assert hash_bytes64(b"abc") != hash_bytes64(b"abd")
     assert hash_bytes64(b"abc", seed=1) != hash_bytes64(b"abc", seed=2)
+
+
+def test_derive_h2_convention():
+    """h2=None in any sketch/EDH API means derive_h2(h1) — the wire
+    contract that lets the Spark layer ship ONE hash column across the
+    Arrow boundary while build and probe stay consistent."""
+    from sparksketch.hashing import derive_h2, edh_indices
+    h1 = np.array([0, 1, -1, 2**63 - 1, -2**63, 42], dtype=np.int64)
+    d = derive_h2(h1)
+    assert d.dtype == np.int64
+    assert np.array_equal(d, derive_h2(h1))          # deterministic
+    assert np.array_equal(edh_indices(h1, None, 5, 97),
+                          edh_indices(h1, d, 5, 97))  # None == derived
+    # full-width remix, not a bit split: flipping one h1 bit flips ~half
+    flipped = derive_h2(h1 ^ np.int64(1))
+    ham = np.unpackbits((d ^ flipped).view(np.uint8)).sum() / d.size
+    assert 20 <= ham <= 44  # ~32 of 64 bits
+
+
+def test_sketch_apis_accept_omitted_h2():
+    """Build with explicit derive_h2(h1) == build with h2 omitted, for
+    every pair-taking sketch kind (byte-identical)."""
+    from sparksketch.hashing import derive_h2
+    from sparksketch.shape import Shape, StableShape
+    from sparksketch.sketches import (BloomFilter, CountingBloomFilter,
+                                      CountMinSketch, LayeredBloomFilter,
+                                      StableBloomFilter)
+    rng = np.random.default_rng(5)
+    h1 = rng.integers(-2**63, 2**63, size=200, dtype=np.int64)
+    h2 = derive_h2(h1)
+    shape = Shape.from_np(500, 1e-6)
+    for mk, add in [
+        (lambda: BloomFilter(shape), lambda s: s.add_hashes),
+        (lambda: CountingBloomFilter(shape), lambda s: s.add_hashes),
+        (lambda: CountMinSketch(1 << 10, 4), lambda s: s.add_hashes),
+    ]:
+        a, b = mk(), mk()
+        add(a)(h1, h2)
+        add(b)(h1)
+        assert a.to_bytes() == b.to_bytes(), type(a)
+    keys = rng.integers(0, 4, size=200)
+    a, b = LayeredBloomFilter(shape), LayeredBloomFilter(shape)
+    a.add_hashes(keys, h1, h2)
+    b.add_hashes(keys, h1)
+    assert a.to_bytes() == b.to_bytes()
+    ss = StableShape.builder(Shape.from_np(100, 1e-3)).set_max(3).build()
+    a, b = StableBloomFilter(ss, seed=7), StableBloomFilter(ss, seed=7)
+    a.insert_hashes(h1, h2)
+    b.insert_hashes(h1)
+    assert a.to_bytes() == b.to_bytes()
+    assert np.array_equal(a.contains_hashes(h1), b.contains_hashes(h1, h2))

@@ -195,8 +195,8 @@ class TestSqlFunctionSurface:
 
     def test_estimate_contains_merge_quantile_via_sql(self, spark):
         from sparksketch.agg import (BloomSpec, BottomKSpec, KLLSpec,
-                                     H2_SEED, build_partials,
-                                     grouped_sketch, tree_aggregate)
+                                     build_partials, grouped_sketch,
+                                     tree_aggregate)
         from sparksketch.shape import Shape
         from sparksketch.sqlfuncs import register_sql_functions
         names = register_sql_functions(spark)
@@ -219,8 +219,8 @@ class TestSqlFunctionSurface:
                               "sketch binary, k long") \
             .createOrReplaceTempView("t_sql_probe")
         hits = {r.k for r in spark.sql(
-            f"SELECT k FROM t_sql_probe WHERE sketch_contains(sketch, "
-            f"xxhash64(k), xxhash64({H2_SEED}, k))").collect()}
+            "SELECT k FROM t_sql_probe WHERE sketch_contains(sketch, "
+            "xxhash64(k))").collect()}
         assert hits == set(range(40))
         # per-group KLL quantile via SQL == exact median (exact regime)
         perq = grouped_sketch(df, ["g"], KLLSpec(k=256, col="v"), ["k"])

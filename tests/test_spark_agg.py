@@ -195,7 +195,7 @@ class TestKeyedLayerFind:
     def test_per_key_blob_routing(self, spark):
         """Each row probes the layered sketch selected by its key column;
         keys without a blob get an empty hit list."""
-        from sparksketch.agg import (H2_SEED, with_keyed_layer_find)
+        from sparksketch.agg import with_keyed_layer_find
         from sparksketch.shape import Shape
         from sparksketch.sketches import LayeredBloomFilter
         shape = Shape.from_np(1000, 1e-9)
@@ -206,11 +206,8 @@ class TestKeyedLayerFind:
         for key, vals in items.items():
             sk = LayeredBloomFilter(shape)
             df1 = spark.createDataFrame([(v,) for v in vals], "v string")
-            hp = df1.select(F2.xxhash64("v").alias("h1"),
-                            F2.xxhash64(F2.lit(H2_SEED), "v").alias("h2")
-                            ).toPandas()
-            sk.add_hashes(np.full(len(hp), 7 + key),
-                          hp.h1.to_numpy(), hp.h2.to_numpy())
+            hp = df1.select(F2.xxhash64("v").alias("h1")).toPandas()
+            sk.add_hashes(np.full(len(hp), 7 + key), hp.h1.to_numpy())
             blobs[key] = sk.to_bytes()
         probes = spark.createDataFrame(
             [(0, "a"), (0, "c"), (1, "c"), (1, "a"), (2, "a")],

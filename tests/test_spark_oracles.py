@@ -34,10 +34,9 @@ class TestAgainstSparkBuiltins:
                  .agg(F.count("*").alias("cnt")).collect()}
         pdf = (events.select("event_type").distinct()
                .select(F.col("event_type"),
-                       F.xxhash64("event_type").alias("h1"),
-                       F.xxhash64(F.lit(0xB10F), "event_type").alias("h2"))
+                       F.xxhash64("event_type").alias("h1"))
                .toPandas())
-        got = sk.query_hashes(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+        got = sk.query_hashes(pdf["h1"].to_numpy())
         for et, g in zip(pdf["event_type"], got):
             assert g == exact[et]  # exact regime: w >> distinct
 

@@ -78,11 +78,21 @@ def main() -> None:
     print(json.dumps(doc))
     # persist next to BENCH.md: bench.py's writer picks this up and renders
     # the curve into BENCH.md on every bench run (BENCH.md is regenerated
-    # wholesale, so the curve must live in a sidecar, not a manual edit)
+    # wholesale, so the curve must live in a sidecar, not a manual edit).
+    # Merge-update: other tools park their sections (profile_16m,
+    # codec_identity) in the same sidecar — don't clobber them.
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING_CURVE.json")
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except ValueError:
+            merged = {}
+    merged.update(doc)
     with open(out, "w") as f:
-        json.dump(doc, f, indent=1)
+        json.dump(merged, f, indent=1)
         f.write("\n")
     print("\n| n_turns | local[8] sec | local[32] sec | 8->32 efficiency |")
     print("|---|---|---|---|")
