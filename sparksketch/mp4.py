@@ -1,0 +1,247 @@
+"""Pure-Python/NumPy ISO BMFF (MP4) container parser — no codec library.
+
+Implements the box walk of the public ISO/IEC 14496-12 spec: ``ftyp``,
+``moov``/``trak``/``mdia``/``minf``/``stbl`` traversal, 32/64-bit box
+sizes, and the sample tables that locate every coded frame in the file —
+``stsd`` (codec fourcc + visual dimensions), ``stts`` (decode timeline),
+``stsz`` (sample sizes), ``stsc``/``stco``/``co64`` (chunk layout →
+per-sample file offsets), ``stss`` (sync/keyframe samples).
+
+This is the REAL container layer of MP4 video handling: it yields
+per-frame (offset, size, timestamp, is_sync) without decoding anything,
+which is exactly what a distributed frame-sampling pipeline needs —
+``multimodal.sample_video_frames`` uses it to emit the sync sample's
+coded bytes per sampled timestamp (binary-in/binary-out, the same
+contract as the MJPEG/AVI path).  The H.264/H.265 BITSTREAM decode of
+those bytes is the one honest seam left in the media tier: implementing
+an H.264 decoder from scratch is not reasonable, and a codec library
+slots in downstream of the (offset, size) plan this module produces.
+
+Scale note: per-payload kernel behind ``mapInPandas`` pipelines — the
+parse touches only the ``moov`` metadata (KBs), never the media data, so
+planning frames over millions of videos is metadata-priced.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _u32(b: bytes, off: int) -> int:
+    return struct.unpack_from(">I", b, off)[0]
+
+
+def _u64(b: bytes, off: int) -> int:
+    return struct.unpack_from(">Q", b, off)[0]
+
+
+def _boxes(data: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    [pos, end); handles 64-bit largesize and size==0 (to end)."""
+    while pos + 8 <= end:
+        size = _u32(data, pos)
+        kind = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = _u64(data, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"bad MP4 box size for {kind!r}")
+        yield kind, body, pos + size
+        pos += size
+
+
+def _child(data: bytes, pos: int, end: int, *path: bytes):
+    """First box matching the fourcc path under [pos, end)."""
+    for step in path:
+        found = None
+        for kind, b, e in _boxes(data, pos, end):
+            if kind == step:
+                found = (b, e)
+                break
+        if found is None:
+            return None
+        pos, end = found
+    return pos, end
+
+
+def _full(data: bytes, pos: int) -> tuple[int, int]:
+    """(version, first-payload-offset) of a FullBox payload."""
+    return data[pos], pos + 4
+
+
+def _parse_stbl(data: bytes, pos: int, end: int) -> dict:
+    out: dict = {"codec": None, "width": None, "height": None}
+    sizes = deltas = counts = stco = stsc = stss = None
+    fixed_size = 0
+    for kind, b, e in _boxes(data, pos, end):
+        if kind == b"stsd":
+            n = _u32(data, b + 4)
+            if n >= 1:
+                entry = b + 8
+                out["codec"] = data[entry + 4:entry + 8].decode(
+                    "ascii", "replace")
+                # VisualSampleEntry: 6 reserved + 2 dref + 16 predefined,
+                # then width/height u16 (audio entries just read junk
+                # here; the handler gate below keeps them out)
+                if e - entry >= 8 + 28:
+                    out["width"] = struct.unpack_from(
+                        ">H", data, entry + 8 + 24)[0]
+                    out["height"] = struct.unpack_from(
+                        ">H", data, entry + 8 + 26)[0]
+        elif kind == b"stts":
+            n = _u32(data, b + 4)
+            arr = np.frombuffer(data, dtype=">u4", count=2 * n,
+                                offset=b + 8).reshape(n, 2)
+            counts, deltas = (arr[:, 0].astype(np.int64),
+                              arr[:, 1].astype(np.int64))
+        elif kind == b"stsz":
+            fixed_size = _u32(data, b + 4)
+            n = _u32(data, b + 8)
+            if fixed_size == 0:
+                sizes = np.frombuffer(data, dtype=">u4", count=n,
+                                      offset=b + 12).astype(np.int64)
+            else:
+                sizes = np.full(n, fixed_size, dtype=np.int64)
+        elif kind == b"stsc":
+            n = _u32(data, b + 4)
+            stsc = np.frombuffer(data, dtype=">u4", count=3 * n,
+                                 offset=b + 8).reshape(n, 3) \
+                .astype(np.int64)
+        elif kind == b"stco":
+            n = _u32(data, b + 4)
+            stco = np.frombuffer(data, dtype=">u4", count=n,
+                                 offset=b + 8).astype(np.int64)
+        elif kind == b"co64":
+            n = _u32(data, b + 4)
+            stco = np.frombuffer(data, dtype=">u8", count=n,
+                                 offset=b + 8).astype(np.int64)
+        elif kind == b"stss":
+            n = _u32(data, b + 4)
+            stss = np.frombuffer(data, dtype=">u4", count=n,
+                                 offset=b + 8).astype(np.int64) - 1
+    if sizes is None or stco is None or stsc is None:
+        raise ValueError("MP4 stbl missing stsz/stco/stsc")
+    n_samples = len(sizes)
+    # expand stsc runs -> samples-per-chunk for every chunk
+    spc = np.empty(len(stco), dtype=np.int64)
+    for i in range(len(stsc)):
+        first = stsc[i, 0] - 1
+        last = stsc[i + 1, 0] - 1 if i + 1 < len(stsc) else len(stco)
+        spc[first:last] = stsc[i, 1]
+    if int(spc.sum()) < n_samples:
+        raise ValueError("MP4 chunk table covers fewer samples than stsz")
+    # per-sample offset = chunk offset + sum of earlier sample sizes
+    # within the same chunk
+    chunk_of = np.repeat(np.arange(len(stco)), spc)[:n_samples]
+    chunk_first = np.concatenate(([0], np.cumsum(spc)))[:-1]
+    csum = np.concatenate(([0], np.cumsum(sizes)))
+    first_of = np.minimum(chunk_first[chunk_of], n_samples - 1)
+    offsets = stco[chunk_of] + (csum[np.arange(n_samples)]
+                                - csum[first_of])
+    # decode timestamps: one delta per sample from the stts run-lengths,
+    # dts[i] = sum of deltas before sample i
+    if counts is not None and counts.sum() >= n_samples:
+        per_sample = np.repeat(deltas, counts)[:n_samples]
+        dts = np.concatenate(([0], np.cumsum(per_sample[:-1])))
+    else:
+        dts = np.zeros(n_samples, dtype=np.int64)
+    out.update({
+        "n_samples": n_samples,
+        "sizes": sizes,
+        "offsets": offsets,
+        "dts": dts,
+        "sync": stss if stss is not None
+        else np.arange(n_samples, dtype=np.int64),
+    })
+    return out
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """MP4 bytes -> container metadata + per-track sample tables.
+
+    Returns ``{"brand", "timescale", "duration_s", "tracks": [...]}``
+    where each track dict carries handler/codec/width/height/timescale/
+    duration_s and NumPy ``offsets``/``sizes``/``dts``/``sync`` arrays
+    locating every coded sample in the file."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) payload — missing ftyp")
+    out: dict = {"brand": payload[8:12].decode("ascii", "replace"),
+                 "timescale": None, "duration_s": None, "tracks": []}
+    moov = _child(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    mpos, mend = moov
+    for kind, b, e in _boxes(payload, mpos, mend):
+        if kind == b"mvhd":
+            ver, p = _full(payload, b)
+            if ver == 1:
+                out["timescale"] = _u32(payload, p + 16)
+                dur = _u64(payload, p + 20)
+            else:
+                out["timescale"] = _u32(payload, p + 8)
+                dur = _u32(payload, p + 12)
+            out["duration_s"] = dur / out["timescale"] \
+                if out["timescale"] else None
+        elif kind == b"trak":
+            trk: dict = {"id": None, "handler": None, "timescale": None,
+                         "duration_s": None}
+            tkhd = _child(payload, b, e, b"tkhd")
+            if tkhd is not None:
+                ver, p = _full(payload, tkhd[0])
+                trk["id"] = _u32(payload, p + (16 if ver else 8))
+            mdia = _child(payload, b, e, b"mdia")
+            if mdia is None:
+                continue
+            mb, me = mdia
+            for mk, b2, e2 in _boxes(payload, mb, me):
+                if mk == b"mdhd":
+                    ver, p = _full(payload, b2)
+                    if ver == 1:
+                        trk["timescale"] = _u32(payload, p + 16)
+                        dur = _u64(payload, p + 20)
+                    else:
+                        trk["timescale"] = _u32(payload, p + 8)
+                        dur = _u32(payload, p + 12)
+                    trk["duration_s"] = dur / trk["timescale"] \
+                        if trk["timescale"] else None
+                elif mk == b"hdlr":
+                    trk["handler"] = payload[b2 + 8:b2 + 12].decode(
+                        "ascii", "replace")
+                elif mk == b"minf":
+                    stbl = _child(payload, b2, e2, b"stbl")
+                    if stbl is not None:
+                        trk.update(_parse_stbl(payload, *stbl))
+            out["tracks"].append(trk)
+    return out
+
+
+def mp4_frame_plan(payload: bytes, every_ms: int = 200) -> list[tuple]:
+    """Sampling plan over the first VIDEO track: for each multiple of
+    ``every_ms`` inside the track duration, pick the latest SYNC sample
+    at-or-before that timestamp and return
+    ``(sample_idx, ts_ms, offset, size)`` — slice ``payload`` with
+    (offset, size) to get the coded frame bytes for a downstream codec."""
+    meta = parse_mp4(payload)
+    vids = [t for t in meta["tracks"]
+            if t.get("handler") == "vide" and t.get("n_samples")]
+    if not vids:
+        raise ValueError("MP4 has no video track with a sample table")
+    t = vids[0]
+    ts_ms_all = t["dts"] * 1000.0 / (t["timescale"] or 1)
+    sync = t["sync"]
+    dur_ms = int((t["duration_s"] or 0) * 1000) or int(ts_ms_all[-1]) + 1
+    plan = []
+    sync_ts = ts_ms_all[sync]
+    for ts in range(0, dur_ms, every_ms):
+        j = int(np.searchsorted(sync_ts, ts, side="right")) - 1
+        idx = int(sync[max(j, 0)])
+        plan.append((idx, ts, int(t["offsets"][idx]),
+                     int(t["sizes"][idx])))
+    return plan

@@ -12,14 +12,16 @@ Decode support has three tiers:
    genuine P6/WAV payloads and the JPEG round-trip query emits genuine
    JFIF bytes, so the image/audio pipelines run END-TO-END with real
    decoding in this environment.
-2. **Stubbed decoders** — MP4 (H.264) etc. would need
-   Pillow/ffmpeg, which are not installed here; those mimes raise
+2. **Stubbed decoders** — the H.264/H.265 BITSTREAM is the one
+   remaining stub: implementing it from scratch is not reasonable, and
+   ffmpeg is not installed here.  Unknown containers raise
    ``NotImplementedError`` unless ``fake=True`` (deterministic fake
    pixels seeded from the payload hash) so the distributed plumbing
    stays testable.  Swapping in a real codec is a one-function change.
-3. **Video** — frame sampling is tier 2 only (no container parser worth
-   hand-rolling); the Arrow batch shape and output schema are the
-   production contract.
+3. **Video** — BOTH container layers are real: RIFF/AVI MJPEG decodes
+   end-to-end (frame JPEG bytes out), and ISO BMFF/MP4 parses its moov
+   sample tables (sparksketch/mp4.py) to emit each sampled sync frame's
+   coded bytes — only the H.264 decode of those bytes is the seam.
 """
 
 from __future__ import annotations
@@ -458,9 +460,15 @@ def sample_video_frames(df: DataFrame, every_ms: int = 200,
     frame_idx, ts_ms, frame binary).  RIFF/AVI MJPEG payloads decode for
     REAL — container chunk walk + the frame's own baseline-JPEG bytes out
     (binary-in/binary-out; decode the frame with ``decode_image`` /
-    ``jpeg.decode_jpeg`` downstream).  Other containers (MP4/H.264 etc.)
-    stay on the honest ``fake=True`` stub tier."""
+    ``jpeg.decode_jpeg`` downstream).  ISO BMFF (MP4) payloads get the
+    REAL container treatment too: the ``moov`` sample tables
+    (sparksketch/mp4.py) locate the latest sync sample at-or-before each
+    sampled timestamp and its CODED bytes come out — the H.264/H.265
+    bitstream decode of those bytes is the media tier's one honest seam
+    (a codec library slots in downstream).  Unknown containers stay on
+    the ``fake=True`` stub tier."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import mp4_frame_plan
         for pdf in batches:
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
@@ -474,10 +482,23 @@ def sample_video_frames(df: DataFrame, every_ms: int = 200,
                         idx = min(int(ts / step_ms), len(fblobs) - 1)
                         rows.append((mid, idx, ts, fblobs[idx]))
                     continue
+                if payload[4:8] == b"ftyp":
+                    try:
+                        plan = mp4_frame_plan(payload, every_ms)
+                    except ValueError:
+                        if not fake:  # malformed/headerless MP4
+                            raise
+                        plan = None
+                    if plan is not None:
+                        for idx, ts, off, size in plan:
+                            rows.append((mid, idx, ts,
+                                         payload[off:off + size]))
+                        continue
                 if not fake:
                     raise NotImplementedError(
-                        "no codec for this video container (only MJPEG/AVI "
-                        "decodes natively); pass fake=True")
+                        "no parser for this video container (MJPEG/AVI "
+                        "decodes natively, MP4 yields coded sync-sample "
+                        "bytes); pass fake=True")
                 for i, ts in enumerate(range(0, int(dur), every_ms)):
                     frame = _fake_pixels(payload + i.to_bytes(4, "little"),
                                          8, 8)

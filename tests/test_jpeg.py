@@ -227,8 +227,8 @@ class TestAviMjpeg:
         avi = encode_avi_mjpeg(self._frames(), fps=10)
         pdf = pd.DataFrame({
             "media_id": [1, 2], "kind": ["video", "video"],
-            "payload": [avi, b"\x00\x00\x00\x20ftypisom-opaque-mp4"],
-            "mime": ["video/x-msvideo", "video/mp4"],
+            "payload": [avi, b"\x1aE\xdf\xa3matroska-opaque-container"],
+            "mime": ["video/x-msvideo", "video/webm"],
             "duration_ms": [500, 400]})
         df = spark.createDataFrame(pdf)
         real = sample_video_frames(df.filter("media_id = 1"),
@@ -282,3 +282,110 @@ class TestDispatchAndPipeline:
             want = _gradient(offset=i).astype(np.float64)
             assert abs(got[mid].mean_r - want[..., 0].mean()) <= 1.0
             assert abs(got[mid].mean_g - want[..., 1].mean()) <= 1.0
+
+
+class TestMp4Container:
+    """ISO BMFF parser (sparksketch/mp4.py): box walk + sample tables.
+    The builder crafts a spec-conformant minimal MP4 with a known sample
+    layout; recovering each frame's exact bytes from (offset, size)
+    proves the stsc/stco/stsz/stts math, not just field parsing."""
+
+    @staticmethod
+    def _box(kind, body):
+        import struct
+        return struct.pack(">I", 8 + len(body)) + kind + body
+
+    def _minimal_mp4(self):
+        import struct
+        B = self._box
+        frames = [bytes([65 + i]) * (10 + 3 * i) for i in range(6)]
+        # two chunks of 3 samples, junk gap between chunks
+        chunk1 = b"".join(frames[:3])
+        chunk2 = b"".join(frames[3:])
+        ftyp = B(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        mdat_body = b"\xEE" * 5 + chunk1 + b"\xEE" * 9 + chunk2
+        off1 = len(ftyp) + 8 + 5
+        off2 = off1 + len(chunk1) + 9
+        mdat = B(b"mdat", mdat_body)
+
+        def full(kind, ver, body):
+            return B(kind, bytes([ver, 0, 0, 0]) + body)
+
+        stsd_entry = (struct.pack(">I", 8 + 78) + b"avc1"
+                      + b"\x00" * 6 + struct.pack(">H", 1)
+                      + b"\x00" * 16
+                      + struct.pack(">HH", 64, 48) + b"\x00" * 50)
+        stbl = (full(b"stsd", 0, struct.pack(">I", 1) + stsd_entry)
+                + full(b"stts", 0, struct.pack(">III", 1, 6, 100))
+                + full(b"stsc", 0, struct.pack(">IIII", 1, 1, 3, 1))
+                + full(b"stsz", 0, struct.pack(">II", 0, 6)
+                       + b"".join(struct.pack(">I", len(f))
+                                  for f in frames))
+                + full(b"stco", 0, struct.pack(">III", 2, off1, off2))
+                + full(b"stss", 0, struct.pack(">III", 2, 1, 4)))
+        minf = B(b"minf", B(b"stbl", stbl))
+        hdlr = full(b"hdlr", 0, struct.pack(">I", 0) + b"vide"
+                    + b"\x00" * 12 + b"v\x00")
+        mdhd = full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, 1000, 600,
+                                            0x55C4, 0))
+        mdia = B(b"mdia", mdhd + hdlr + minf)
+        tkhd = full(b"tkhd", 0, struct.pack(">III", 0, 0, 7)
+                    + b"\x00" * 64
+                    + struct.pack(">II", 64 << 16, 48 << 16))
+        mvhd = full(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, 600)
+                    + b"\x00" * 80)
+        moov = B(b"moov", mvhd + B(b"trak", tkhd + mdia))
+        return ftyp + mdat + moov, frames, (off1, off2)
+
+    def test_parse_and_sample_tables(self):
+        from sparksketch.mp4 import parse_mp4
+        blob, frames, (off1, off2) = self._minimal_mp4()
+        meta = parse_mp4(blob)
+        assert meta["brand"] == "isom"
+        assert meta["timescale"] == 1000 and meta["duration_s"] == 0.6
+        (trk,) = meta["tracks"]
+        assert trk["id"] == 7 and trk["handler"] == "vide"
+        assert trk["codec"] == "avc1"
+        assert (trk["width"], trk["height"]) == (64, 48)
+        assert trk["n_samples"] == 6
+        assert trk["sync"].tolist() == [0, 3]
+        assert trk["dts"].tolist() == [0, 100, 200, 300, 400, 500]
+        # byte-exact recovery of every frame from (offset, size)
+        for i in range(6):
+            o, s = int(trk["offsets"][i]), int(trk["sizes"][i])
+            assert blob[o:o + s] == frames[i], i
+        assert int(trk["offsets"][0]) == off1
+        assert int(trk["offsets"][3]) == off2
+
+    def test_frame_plan_picks_sync_samples(self):
+        from sparksketch.mp4 import mp4_frame_plan
+        blob, frames, _ = self._minimal_mp4()
+        plan = mp4_frame_plan(blob, every_ms=200)
+        # 600ms track, sync at 0ms (sample 0) and 300ms (sample 3)
+        assert [(i, ts) for i, ts, _, _ in plan] == [(0, 0), (0, 200),
+                                                     (3, 400)]
+        for idx, _, off, size in plan:
+            assert blob[off:off + size] == frames[idx]
+
+    def test_malformed_mp4_fails_fast(self):
+        import pytest
+        from sparksketch.mp4 import parse_mp4
+        with pytest.raises(ValueError, match="ftyp"):
+            parse_mp4(b"\x00\x00\x00\x08junk")
+        blob, _, _ = self._minimal_mp4()
+        with pytest.raises(ValueError):
+            parse_mp4(blob[:40])  # truncated inside mdat/moov
+
+    def test_sample_video_frames_mp4_branch(self, spark):
+        """Distributed path: MP4 payloads yield the sync sample's coded
+        bytes per sampled timestamp (binary-in/binary-out, same contract
+        as the MJPEG/AVI branch)."""
+        from sparksketch.multimodal import sample_video_frames
+        blob, frames, _ = self._minimal_mp4()
+        df = spark.createDataFrame(
+            [(1, "video", bytearray(blob), 600)],
+            "media_id long, kind string, payload binary, duration_ms long")
+        rows = {(r.frame_idx, r.ts_ms): bytes(r.frame)
+                for r in sample_video_frames(df, every_ms=200).collect()}
+        assert set(rows) == {(0, 0), (0, 200), (3, 400)}
+        assert rows[(0, 0)] == frames[0] and rows[(3, 400)] == frames[3]
