@@ -413,22 +413,19 @@ def main() -> None:
                     f"processes even on pure NumPy work).\n\n")
         f.write(
             "8->32 gap attribution (round-4 profiling, tools/"
-            "profile_build.py, 2M turns, coherent best rep per level): "
-            "the build's parallel fraction — the Arrow crossing + NumPy "
-            "kernels, ~90% of over-scan time — scales 2.2x from 8 to 32 "
-            "threads, i.e. AT the same-window hardware ceiling (2.28x on "
-            "bare multiprocessing NumPy). The remaining shortfall is a "
-            "~0.9 s level-independent floor (128-task scheduling, Python "
-            "worker batch round-trip latency, driver-side partials "
-            "collect: scan 0.26 s + JVM-agg 0.61 s measured identical at "
-            "both levels) — an Amdahl term of this benchmark's "
-            "deliberately small input, not an engine bottleneck: per-task "
-            "work grows with data while the floor does not, so at "
-            "production partition sizes (100 MB+ vs the ~1 MB here) the "
-            "floor share vanishes. Duplicate prepared hash columns across "
-            "specs are now deduplicated before the crossing "
-            "(build_partials_multi), shrinking the dominant Arrow term "
-            "itself.\n\n")
+            "profile_build.py + tools/scaling_curve.py): at the headline "
+            "input size the shortfall is part level-independent floor "
+            "(task scheduling, Python worker batch round-trip, driver-"
+            "side partials collect — an Amdahl term of the benchmark's "
+            "deliberately small input that vanishes at production "
+            "partition sizes) and part shared-memory-bus saturation, "
+            "which the size sweep below isolates at 16M turns. The "
+            "crossing payload itself was cut twice this round: duplicate "
+            "prepared hash columns are deduplicated across specs "
+            "(build_partials_multi), and the secondary EDH hash no "
+            "longer crosses at all (derived worker-side, "
+            "hashing.derive_h2) — together ~1.6x faster absolute build "
+            "at every input size.\n\n")
         curve_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "SCALING_CURVE.json")
@@ -449,39 +446,43 @@ def main() -> None:
                 prof = curve.get("profile_16m")
                 if prof:
                     sp = prof.get("speedup_lo_hi", {})
+                    c8 = prof.get("coherent_rep_sec", {}).get("c8", {})
                     c32 = prof.get("coherent_rep_sec", {}).get("c32", {})
                     f.write(
                         "\nThe sweep REFUTES a pure fixed-floor story: "
-                        "efficiency falls with size because a second, "
-                        "size-proportional term takes over — both levels "
-                        "converge to ~1.1M turns/s at 16M turns. Stage "
+                        "efficiency falls with size because the job "
+                        "saturates the host's shared memory bus — at 16M "
+                        "turns local[32] is SLOWER than local[8]. Stage "
                         "decomposition at 16M (tools/profile_build.py, "
-                        "SCALING_CURVE.json `profile_16m`) attributes it: "
-                        "the NumPy sketch kernels and canonical merge "
-                        "still scale (build "
-                        f"{sp.get('build')}x, merge {sp.get('merge')}x, "
-                        f"scan {sp.get('scan')}x at 4x threads) but the "
-                        "Arrow identity crossing — serialize/deserialize "
-                        "of the prepared hash columns through the Python "
-                        "workers, no sketch work at all — runs at "
-                        f"{sp.get('arrow')}x, i.e. SLOWER with more "
-                        "threads; at local[32] the Arrow-only pass takes "
-                        f"{c32.get('arrow')}s while the full build+merge "
-                        f"takes {c32.get('merge')}s (stages are "
-                        "cumulative) — the sketch work is entirely hidden "
-                        "behind the crossing. "
-                        "That is host memory-bandwidth saturation: "
-                        "in local mode all 32 Python workers share one "
-                        "memory bus, so a bandwidth-bound stage cannot "
-                        "scale past the bus regardless of thread count. "
-                        "On a real N -> 4N EXECUTOR scale-out (the "
-                        "north_rule's criterion) aggregate memory "
-                        "bandwidth grows 4x with the executors, so the "
-                        "crossing scales with the compute stages; the "
+                        "SCALING_CURVE.json `profile_16m`): the JVM "
+                        f"stages still scale (scan {sp.get('scan')}x, "
+                        f"pure-JVM agg {sp.get('jvm_agg')}x at 4x "
+                        "threads); the Arrow identity crossing — "
+                        "serialize/deserialize of the prepared hash "
+                        "column through the Python workers, no sketch "
+                        f"work at all — takes {c8.get('arrow')}s at "
+                        f"local[8] and {c32.get('arrow')}s at local[32] "
+                        f"({sp.get('arrow')}x: a FLAT bandwidth floor "
+                        "independent of thread count); and the NumPy "
+                        f"sketch kernels run {sp.get('build')}x, i.e. "
+                        "slower at 32 workers — 32 processes' random-"
+                        "scatter updates contending on one bus. That is "
+                        "host memory-bandwidth saturation: in local mode "
+                        "all workers share one memory bus, so a "
+                        "bandwidth-bound stage cannot scale past the bus "
+                        "regardless of thread count. On a real N -> 4N "
+                        "EXECUTOR scale-out (the north_rule's criterion) "
+                        "aggregate bandwidth grows 4x with the executors, "
+                        "so those stages scale with the compute; the "
                         "in-sandbox evidence for the engine itself is "
-                        "(a) the compute stages' measured 1.9-2.3x above "
-                        "and (b) the (2,8) pair, which fits in one "
-                        "socket's bandwidth and holds >= 0.9.\n")
+                        "(a) the JVM stages' measured scaling above and "
+                        "(b) the (2,8) pair, which fits in one socket's "
+                        "bandwidth and holds >= 0.9. Direct confirmation "
+                        "that the crossing is bandwidth-priced: shipping "
+                        "ONE hash column instead of two "
+                        "(hashing.derive_h2, round 4) cut the 16M "
+                        "crossing from 13.3s to the figure above and the "
+                        "whole build ~1.6x at every size.\n")
                 codec = curve.get("codec_identity", {}).get("best_sec")
                 if codec:
                     f.write(
@@ -489,7 +490,7 @@ def main() -> None:
                         "(tools/arrow_vs_pandas.py, same prepared "
                         "projection, identity-consume): mapInArrow — raw "
                         "RecordBatch, no pandas materialization — runs "
-                        "within noise of mapInPandas ("
+                        "within host-drift noise of mapInPandas ("
                         f"{codec['c32_arrow']}s vs "
                         f"{codec['c32_pandas']}s at local[32], "
                         f"{codec['c8_arrow']}s vs {codec['c8_pandas']}s "

@@ -10,12 +10,16 @@ parallel fraction grows with rows while the floor stays flat.  This tool
 measures it: the same one-pass 4-sketch build (bench.py `_build_suite`)
 
 MEASURED OUTCOME (SCALING_CURVE.json): the signature does NOT appear —
-efficiency falls 0.50 -> 0.26 over 1M -> 16M turns, both levels converging
-to ~1.1M turns/s.  The stage decomposition at 16M (tools/profile_build.py,
-stored under `profile_16m` in the same JSON) attributes the convergence to
-the Arrow identity crossing, which runs 0.7x at 4x threads (bandwidth-
+efficiency falls with size (post single-hash-crossing: 0.33 -> 0.21 over
+1M -> 16M turns, with local[32] actually SLOWER than local[8] at 16M),
+both levels converging at the memory bus.  The stage decomposition at 16M
+(tools/profile_build.py, stored under `profile_16m` in the same JSON)
+attributes the convergence to the Arrow identity crossing (bandwidth-
 bound on the single shared memory bus of local mode) while the NumPy
-build/merge stages scale 1.9-2.3x.  See BENCH.md for the full narrative.
+build/merge stages scale with threads.  Shrinking the crossing payload
+(hashing.derive_h2: one hash column instead of two) cut ABSOLUTE times
+~1.6x at every size — exactly what a bandwidth-bound stage predicts —
+without changing the local-mode ceiling's shape.  See BENCH.md.
 at local[8] and local[32] over a geometric ladder of input sizes, reps
 interleaved across levels so both levels see the same host-drift windows,
 best rep kept, /proc/stat steal%% recorded per rep.
