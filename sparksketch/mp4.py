@@ -129,8 +129,9 @@ def _parse_stbl(data: bytes, pos: int, end: int) -> dict:
     if sizes is None or stco is None or stsc is None:
         raise ValueError("MP4 stbl missing stsz/stco/stsc")
     n_samples = len(sizes)
-    # expand stsc runs -> samples-per-chunk for every chunk
-    spc = np.empty(len(stco), dtype=np.int64)
+    # expand stsc runs -> samples-per-chunk for every chunk (zeros for
+    # chunks a non-conformant table leaves uncovered, rather than garbage)
+    spc = np.zeros(len(stco), dtype=np.int64)
     for i in range(len(stsc)):
         first = stsc[i, 0] - 1
         last = stsc[i + 1, 0] - 1 if i + 1 < len(stsc) else len(stco)
