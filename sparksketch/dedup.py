@@ -210,8 +210,11 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         (ex.join(dfreq, "sh")
          .withColumn("_pos", F.row_number().over(w))
          .filter(F.col("_pos")
+                 # eps guards fp noise inflating ceil: 0.07*100 evaluates
+                 # to 7.000000000000001, whose ceil would shorten the
+                 # prefix below the completeness bound (false negatives)
                  <= F.col("_sz") - F.ceil(F.lit(threshold)
-                                          * F.col("_sz")) + 1)
+                                          * F.col("_sz") - 1e-9) + 1)
          .select(id_col, "sh", "_sz", "_pos"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     a = prefix.select(F.col(id_col).alias("id_a"), "sh",
@@ -228,7 +231,7 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     cands = (a.join(b, ["sh"])
               .filter((F.col("id_a") < F.col("id_b"))
                       & (F.least("_sa", "_sb")
-                         >= threshold * F.greatest("_sa", "_sb")))
+                         >= threshold * F.greatest("_sa", "_sb") - 1e-9))
               .groupBy("id_a", "id_b")
               .agg(F.max(F.least(F.col("_sa") - F.col("_pa"),
                                  F.col("_sb") - F.col("_pb"))).alias("_ub"),
@@ -465,8 +468,12 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
+                     # w == 64 (max_hamming=0: one full-word band) needs
+                     # the all-ones mask, which as (1<<64)-1 overflows a
+                     # Java long literal; -1 is the same 64-bit pattern
                      F.shiftrightunsigned("simhash", o)
-                      .bitwiseAND(F.lit((1 << w) - 1)).alias("key"))
+                      .bitwiseAND(F.lit(-1 if w == 64 else (1 << w) - 1))
+                      .alias("key"))
             for i, (o, w) in enumerate(offsets)])).alias("bk")
     ).select(id_col, "simhash", "bk.band", "bk.key")
     # both sides of the self-join read `banded`; without persist Catalyst

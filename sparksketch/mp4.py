@@ -131,6 +131,9 @@ def _parse_stbl(data: bytes, pos: int, end: int) -> dict:
     n_samples = len(sizes)
     # expand stsc runs -> samples-per-chunk for every chunk (zeros for
     # chunks a non-conformant table leaves uncovered, rather than garbage)
+    if (stsc[:, 0] < 1).any() or (np.diff(stsc[:, 0]) <= 0).any():
+        raise ValueError("MP4 stsc first_chunk must be 1-based and "
+                         "strictly increasing")
     spc = np.zeros(len(stco), dtype=np.int64)
     for i in range(len(stsc)):
         first = stsc[i, 0] - 1

@@ -26,6 +26,7 @@ Decode support has three tiers:
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -485,7 +486,10 @@ def sample_video_frames(df: DataFrame, every_ms: int = 200,
                 if payload[4:8] == b"ftyp":
                     try:
                         plan = mp4_frame_plan(payload, every_ms)
-                    except ValueError:
+                    # struct.error/IndexError: truncated boxes inside an
+                    # otherwise well-framed moov — same corrupt-input
+                    # class as a ValueError from the box walk
+                    except (ValueError, struct.error, IndexError):
                         if not fake:  # malformed/headerless MP4
                             raise
                         plan = None

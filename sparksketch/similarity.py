@@ -277,10 +277,15 @@ def ivf_write_index(emb_df: DataFrame, path: str, n_centroids: int = 16,
     ``open()`` (round-3 ADVICE): on hdfs:// or s3a:// index paths the
     whole index — data and sidecar — lands on the same filesystem.
     Returns the centroids."""
+    from pyspark import StorageLevel
     spark = emb_df.sparkSession
     assigned, cents = ivf_assign(emb_df, n_centroids, id_col, vec_col,
                                  seed, refine_iters=refine_iters)
-    assigned = _with_cell(emb_df, vec_col, cents, keep_score=True)
+    # persist: the stats collect AND the partitioned write both read the
+    # full-corpus centroid-assignment projection — without it the argmax
+    # scan (the dominant cost of index materialization) runs twice
+    assigned = _with_cell(emb_df, vec_col, cents, keep_score=True) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     stats = {int(r["_cell"]): (int(r["cnt"]), float(r["ms"]))
              for r in assigned.groupBy("_cell")
              .agg(F.count("*").alias("cnt"),
@@ -296,6 +301,7 @@ def ivf_write_index(emb_df: DataFrame, path: str, n_centroids: int = 16,
     (assigned.withColumnRenamed("_cell", "cell").drop("_cellsim")
      .withColumn("sub", sub)
      .write.mode("overwrite").partitionBy("cell", "sub").parquet(path))
+    assigned.unpersist()
     _write_sidecar(spark, path, cents, n_sub, counts, mean_sim)
     return cents
 

@@ -457,3 +457,37 @@ class TestSimhashBandDerivation:
                                    "doc_id bigint, text string")
         with pytest.raises(ValueError, match="max_hamming"):
             simhash_near_dups(df, "doc_id", max_hamming=64)
+
+    def test_max_hamming_zero_exact_match_band(self, spark):
+        """max_hamming=0 -> one full-64-bit band; the all-ones mask must
+        not be emitted as the Java-long-overflowing (1<<64)-1 literal.
+        Identical texts collide (hamming 0), near-misses don't."""
+        from sparksketch.dedup import simhash_near_dups
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "an entirely different document about sketches")],
+            "doc_id bigint, text string")
+        pairs = {(r.id_a, r.id_b) for r in
+                 simhash_near_dups(df, "doc_id", max_hamming=0).collect()}
+        assert pairs == {(1, 2)}
+
+
+class TestJaccardPrefixBoundary:
+    def test_threshold_at_fp_noise_boundary(self, spark):
+        """0.07 * 100 evaluates to 7.000000000000001; without the eps
+        guard ceil() shortened the AllPairs prefix below the completeness
+        bound and the pair (J exactly = t) silently vanished."""
+        from sparksketch.dedup import jaccard_prefix_pairs
+        toks_a = " ".join(f"tok{i} tok{i} x" for i in range(100))
+        # build docs whose 3-gram sets give |A|=100 distinct, B subset of
+        # 7 -> easier: use shingle_n=1 (token sets) for exact control
+        a_text = " ".join(f"w{i}" for i in range(100))
+        b_text = " ".join(f"w{i}" for i in range(7))
+        del toks_a
+        df = spark.createDataFrame([(1, a_text), (2, b_text)],
+                                   "doc_id bigint, text string")
+        got = jaccard_prefix_pairs(df, "doc_id", shingle_n=1,
+                                   threshold=0.07).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in got] == \
+            [(1, 2, 0.07)]

@@ -38,9 +38,10 @@ N_PARTS = 128
 
 
 def _steal() -> tuple[int, int]:
-    with open("/proc/stat") as f:
-        v = [int(x) for x in f.readline().split()[1:]]
-    return (v[7] if len(v) > 7 else 0), sum(v)
+    # single source of truth for steal accounting: BENCH.md cites this
+    # profiler's numbers alongside bench's — they must not diverge
+    from bench import _cpu_times
+    return _cpu_times()
 
 
 def _stages(spark):

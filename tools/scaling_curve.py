@@ -8,6 +8,9 @@ That claim has a direct empirical signature: the 8->32 efficiency must
 RISE monotonically (modulo host noise) as per-task work grows, because the
 parallel fraction grows with rows while the floor stays flat.  This tool
 measures it: the same one-pass 4-sketch build (bench.py `_build_suite`)
+at local[8] and local[32] over a geometric ladder of input sizes, reps
+interleaved across levels so both levels see the same host-drift windows,
+best rep kept, /proc/stat steal%% recorded per rep.
 
 MEASURED OUTCOME (SCALING_CURVE.json): the signature does NOT appear —
 efficiency falls with size (post single-hash-crossing: 0.33 -> 0.21 over
@@ -20,9 +23,6 @@ build/merge stages scale with threads.  Shrinking the crossing payload
 (hashing.derive_h2: one hash column instead of two) cut ABSOLUTE times
 ~1.6x at every size — exactly what a bandwidth-bound stage predicts —
 without changing the local-mode ceiling's shape.  See BENCH.md.
-at local[8] and local[32] over a geometric ladder of input sizes, reps
-interleaved across levels so both levels see the same host-drift windows,
-best rep kept, /proc/stat steal%% recorded per rep.
 
 Usage: python tools/scaling_curve.py [reps] [sizes_csv]
 Defaults: 3 reps, sizes 1,2,4,8,16 (millions of turns).
