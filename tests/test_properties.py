@@ -285,3 +285,48 @@ def test_hash_threshold_selection_is_pure_function_of_key(keys, rate):
     # shuffled + duplicated evaluation agrees with the single evaluation
     for k in list(reversed(keys)) + keys:
         assert keep(k) == once[k]
+
+
+@settings(max_examples=60, deadline=None)
+@given(h=st.integers(2, 40), w=st.integers(2, 48), seed=st.integers(0, 2**32),
+       interlace=st.booleans())
+def test_png_roundtrip_exact_any_shape(h, w, seed, interlace):
+    """PNG is lossless: encode->decode must recover the pixels EXACTLY at
+    every shape (ragged Adam7 passes included) and both interlace modes."""
+    from sparksketch.png import decode_png, encode_png
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, interlace=interlace)),
+                          px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(8, 40), w=st.integers(8, 40), seed=st.integers(0, 2**32),
+       quality=st.sampled_from([50, 75, 90]), sub=st.booleans())
+def test_progressive_always_identical_to_baseline(h, w, seed, quality, sub):
+    """The SOF2 stream carries the same quantized coefficients as the
+    baseline stream, so their decodes must be byte-identical for ANY
+    image/shape/quality/subsampling — the strongest possible contract on
+    the successive-approximation scan machinery."""
+    from sparksketch.jpeg import decode_jpeg, encode_jpeg
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=quality, subsample=sub))
+    prog = decode_jpeg(encode_jpeg(px, quality=quality, subsample=sub,
+                                   progressive=True))
+    assert np.array_equal(base, prog)
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(st.lists(st.integers(-2**63, 2**63 - 1), min_size=1, max_size=100),
+       st.integers(1, 16), st.integers(2, 1 << 20))
+def test_derive_h2_edh_matches_explicit(hs, k, m):
+    """The omitted-h2 convention: edh_indices(h1, None) must equal
+    edh_indices(h1, derive_h2(h1)) for any (k, m), and deriving must be
+    a pure function of h1 (build/probe consistency)."""
+    from sparksketch.hashing import derive_h2, edh_indices
+    h1 = np.array(hs, dtype=np.int64)
+    d = derive_h2(h1)
+    assert np.array_equal(edh_indices(h1, None, k, m),
+                          edh_indices(h1, d, k, m))
+    assert np.array_equal(d, derive_h2(h1.copy()))
