@@ -220,7 +220,10 @@ class BottomKSpec(SketchSpec):
         return BottomKSketch(self.k)
 
     def est_bytes(self) -> int:
-        return 64 + self.k * (16 if self.col is not None else 8)
+        # the codec always serializes BOTH arrays (hashes + values, zeros
+        # when payload-less) — estimating k*8 for col=None under-budgeted
+        # the size-gated driver collect in tree_aggregate by 2x
+        return 64 + self.k * 16
 
     def update(self, sk, pdf) -> None:
         vals = pdf["value"].to_numpy() if self.col is not None else None

@@ -77,15 +77,34 @@ class BottomKSketch(Sketch):
         return (self.k - 1) / max(h_k, 1e-300)
 
     def quantile(self, q: float) -> float:
-        """Quantile of the payload values from the uniform hash sample."""
-        if self.values.size == 0:
+        """Quantile of the payload values from the uniform hash sample.
+        NaN payloads (SQL NULLs through the Arrow crossing) are excluded
+        here — they must stay in the kept set (dropping the ROW would
+        skew distinct_estimate) but would otherwise sort last and make
+        every upper quantile NaN."""
+        v = np.sort(self.values[~np.isnan(self.values)])
+        if v.size == 0:
             return float("nan")
-        v = np.sort(self.values)
         pos = q * (v.size - 1)
         lo = int(np.floor(pos))
         hi = min(lo + 1, v.size - 1)
         frac = pos - lo
-        return float(v[lo] * (1 - frac) + v[hi] * frac)
+        # lerp form, matching kll.py's exact-regime oracle alignment
+        # (the blend (1-f)*lo + f*hi can round a tick off equal endpoints)
+        return float(v[lo] + frac * (v[hi] - v[lo]))
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        """One sort for the whole report (see ``quantile``)."""
+        v = np.sort(self.values[~np.isnan(self.values)])
+        if v.size == 0:
+            return [float("nan")] * len(qs)
+        out = []
+        for q in qs:
+            pos = q * (v.size - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, v.size - 1)
+            out.append(float(v[lo] + (pos - lo) * (v[hi] - v[lo])))
+        return out
 
     def union_distinct(self, other: "BottomKSketch") -> float:
         """Distinct-count estimate of A ∪ B: the union's bottom-k is itself

@@ -62,10 +62,23 @@ class KLLSketch(Sketch):
             for h in range(len(self.levels)):
                 if self.levels[h].size >= self._cap(h):
                     lv = np.sort(self.levels[h])
-                    # deterministic offset bit from content hash
-                    off = hash_array64(lv, seed=h) & 1
-                    keep = lv[off::2]
-                    self.levels[h] = np.zeros(0)
+                    # deterministic bits from content hash: bit0 picks the
+                    # keep-one-behind end, bit1 the even-body offset
+                    bits = hash_array64(lv, seed=h)
+                    if lv.size % 2 == 1:
+                        # keep-one-behind (KLL paper / DataSketches):
+                        # compact an EVEN count so the promoted half
+                        # carries exactly half the compacted weight — an
+                        # odd compaction would add/remove 2^h of phantom
+                        # weight and drift total weight away from n
+                        if bits & 1:
+                            behind, body = lv[-1:], lv[:-1]
+                        else:
+                            behind, body = lv[:1], lv[1:]
+                    else:
+                        behind, body = lv[:0], lv
+                    keep = body[(bits >> 1) & 1::2]
+                    self.levels[h] = behind.copy()
                     if h + 1 == len(self.levels):
                         self.levels.append(np.zeros(0))
                     self.levels[h + 1] = np.concatenate([self.levels[h + 1], keep])
@@ -115,10 +128,7 @@ class KLLSketch(Sketch):
         order = np.argsort(v, kind="stable")
         return v[order], w[order]
 
-    def quantile(self, q: float) -> float:
-        if self.n == 0:
-            return float("nan")
-        v, w = self._weighted_items()
+    def _q(self, q: float, v: np.ndarray, w: np.ndarray) -> float:
         if len(self.levels) == 1:
             # exact regime: continuous interpolation == SQL quantile_cont
             pos = q * (v.size - 1)
@@ -130,12 +140,25 @@ class KLLSketch(Sketch):
             # both are EQUAL; DuckDB's quantile_cont uses the lerp form,
             # so this keeps the exact-regime oracle bit-aligned
             return float(v[lo] + frac * (v[hi] - v[lo]))
-        cum = np.cumsum(w) - 0.5 * w
-        target = q * w.sum()
-        return float(np.interp(target, cum, v))
+        # compacted regime: anchor the tails on the tracked true extremes
+        # so quantile(0)/quantile(1) return min/max (not the innermost
+        # surviving items) and the tail interpolation passes through them
+        cum = np.concatenate(([0.0], np.cumsum(w) - 0.5 * w, [w.sum()]))
+        vx = np.concatenate(([self.min_v], v, [self.max_v]))
+        return float(np.interp(q * w.sum(), cum, vx))
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        v, w = self._weighted_items()
+        return self._q(q, v, w)
 
     def quantiles(self, qs: list[float]) -> list[float]:
-        return [self.quantile(q) for q in qs]
+        if self.n == 0:
+            return [float("nan")] * len(qs)
+        # one sort for the whole report, not one per q
+        v, w = self._weighted_items()
+        return [self._q(q, v, w) for q in qs]
 
     def rank(self, value: float) -> float:
         """Approximate normalized rank of ``value`` (fraction <= value)."""

@@ -37,6 +37,11 @@ class TDigest(Sketch):
                  means: np.ndarray | None = None,
                  weights: np.ndarray | None = None,
                  n: int = 0, min_v: float = math.inf, max_v: float = -math.inf) -> None:
+        if not (compression > 0 and math.isfinite(compression)):
+            # fail at construction, not as a ZeroDivisionError inside the
+            # first executor-side add
+            raise ValueError(f"compression must be a positive finite "
+                             f"number, got {compression}")
         self.compression = compression
         self.means = means if means is not None else np.zeros(0)
         self.weights = weights if weights is not None else np.zeros(0)
@@ -59,7 +64,17 @@ class TDigest(Sketch):
             q = (w_before + cur_w + weights[i]) / total
             if q <= q_lim:
                 nw = cur_w + weights[i]
-                cur_m += (means[i] - cur_m) * weights[i] / nw
+                # inf-safe weighted mean: inf - inf is NaN and would
+                # permanently poison the digest.  Equal values (incl.
+                # equal infinities) leave the mean unchanged; absorbing a
+                # +/-inf into a finite cluster makes the mean that
+                # infinity; a -inf cluster absorbs anything (means are
+                # sorted ascending, so cur_m = -inf comes first).
+                if means[i] != cur_m and not math.isinf(cur_m) \
+                        and not math.isinf(means[i]):
+                    cur_m += (means[i] - cur_m) * weights[i] / nw
+                elif math.isinf(means[i]) and not math.isinf(cur_m):
+                    cur_m = means[i]
                 cur_w = nw
             else:
                 out_m.append(cur_m)
@@ -81,8 +96,13 @@ class TDigest(Sketch):
         self.n += int(values.size)
         self.min_v = min(self.min_v, float(values.min()))
         self.max_v = max(self.max_v, float(values.max()))
-        self._cluster(np.concatenate([self.means, values]),
-                      np.concatenate([self.weights, np.ones(values.size)]))
+        # pre-aggregate duplicates: the clustering pass is a per-element
+        # Python loop, so collapsing repeated values (common in real
+        # columns) shrinks it at identical weighted-mean semantics
+        vals, cnts = np.unique(values, return_counts=True)
+        self._cluster(np.concatenate([self.means, vals]),
+                      np.concatenate([self.weights,
+                                      cnts.astype(np.float64)]))
 
     def merge(self, other: Sketch) -> None:
         if not isinstance(other, TDigest) or other.compression != self.compression:
@@ -104,14 +124,23 @@ class TDigest(Sketch):
         target = q * total
         cum = np.cumsum(self.weights) - 0.5 * self.weights
         if target <= cum[0]:
-            # interpolate between min and first centroid
+            # interpolate between min and first centroid; the equal-
+            # endpoint guard also covers both being -inf, where the lerp
+            # would compute -inf + 0 * nan = nan
+            if self.means[0] == self.min_v:
+                return float(self.min_v)
             frac = target / max(cum[0], 1e-300)
             return float(self.min_v + frac * (self.means[0] - self.min_v))
         if target >= cum[-1]:
+            if self.means[-1] == self.max_v:
+                return float(self.max_v)
             denom = max(total - cum[-1], 1e-300)
             frac = (target - cum[-1]) / denom
             return float(self.means[-1] + frac * (self.max_v - self.means[-1]))
         return float(np.interp(target, cum, self.means))
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        return [self.quantile(q) for q in qs]
 
     def cdf(self, x: float) -> float:
         if self.n == 0:
@@ -122,7 +151,12 @@ class TDigest(Sketch):
             return 1.0
         total = self.weights.sum()
         cum = np.cumsum(self.weights) - 0.5 * self.weights
-        return float(np.interp(x, self.means, cum) / total)
+        # anchor the tails on min/max exactly like quantile() does, so
+        # cdf is continuous at the extremes and cdf(quantile(q)) ~ q in
+        # both tails
+        xs = np.concatenate(([self.min_v], self.means, [self.max_v]))
+        cs = np.concatenate(([0.0], cum, [total]))
+        return float(np.interp(x, xs, cs) / total)
 
     def to_bytes(self) -> bytes:
         return (pack_header(self.KIND)

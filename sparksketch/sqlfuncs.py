@@ -62,8 +62,10 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         out = np.empty(len(blobs), dtype=np.float64)
         qv = qs.to_numpy(dtype=np.float64)
         for sk, idxs in _per_blob_groups(blobs):
-            for i in idxs:
-                out[i] = float(sk.quantile(qv[i]))
+            # batch all of this sketch's q's through quantiles(): one
+            # retained-items sort per sketch per batch, not one per row
+            res = sk.quantiles([float(qv[i]) for i in idxs])
+            out[idxs] = res
         return pd.Series(out)
 
     @F.pandas_udf("boolean")

@@ -491,3 +491,73 @@ class TestJaccardPrefixBoundary:
                                    threshold=0.07).collect()
         assert [(r.id_a, r.id_b, r.jaccard) for r in got] == \
             [(1, 2, 0.07)]
+
+
+class TestSketchQuantileHardening:
+    """Round-4 self-review fixes on the quantile sketch family."""
+
+    def test_kll_weight_conservation_and_extremes(self):
+        """Keep-one-behind compaction: total retained weight must equal n
+        exactly (odd compactions used to drift it 4%), and q=0/q=1 must
+        return the tracked true extremes, not the innermost survivors."""
+        from sparksketch.sketches.kll import KLLSketch
+        sk = KLLSketch(8)
+        sk.add_values(np.arange(1000, dtype=np.float64))
+        v, w = sk._weighted_items()
+        assert w.sum() == sk.n == 1000
+        assert sk.quantile(0.0) == 0.0
+        assert sk.quantile(1.0) == 999.0
+        # merge path conserves weight too
+        other = KLLSketch(8)
+        other.add_values(np.arange(1000, 1500, dtype=np.float64))
+        sk.merge(other)
+        v, w = sk._weighted_items()
+        assert w.sum() == sk.n == 1500
+        assert sk.quantile(1.0) == 1499.0
+        # quantiles() batch equals per-q calls
+        qs = [0.1, 0.5, 0.9]
+        assert sk.quantiles(qs) == [sk.quantile(q) for q in qs]
+
+    def test_tdigest_inf_values_do_not_poison(self):
+        from sparksketch.sketches.tdigest import TDigest
+        td = TDigest(100.0)
+        td.add_values(np.concatenate([np.full(20, np.inf),
+                                      np.arange(100, dtype=np.float64),
+                                      np.full(20, -np.inf)]))
+        assert not np.isnan(td.means).any()
+        assert td.quantile(0.5) == pytest.approx(49.5, abs=5)
+        assert td.quantile(0.0) == -np.inf
+        assert td.quantile(1.0) == np.inf
+
+    def test_tdigest_validates_compression_and_cdf_tails(self):
+        from sparksketch.sketches.tdigest import TDigest
+        with pytest.raises(ValueError, match="compression"):
+            TDigest(0.0)
+        with pytest.raises(ValueError, match="compression"):
+            TDigest(-5.0)
+        td = TDigest(100.0)
+        rng = np.random.default_rng(3)
+        td.add_values(rng.standard_normal(5000))
+        # cdf continuous at the extremes: cdf(quantile(q)) ~ q in tails
+        for q in (0.01, 0.05, 0.95, 0.99):
+            assert td.cdf(td.quantile(q)) == pytest.approx(q, abs=0.01)
+
+    def test_bottomk_nan_payloads_and_oracle_lerp(self):
+        from sparksketch.sketches.bottomk import BottomKSketch
+        sk = BottomKSketch(16)
+        h = np.arange(8, dtype=np.int64)
+        vals = np.array([1.0, 2.0, np.nan, 4.0, 5.0, np.nan, 7.0, 8.0])
+        sk.add_hashes(h, vals)
+        # NaN payload rows stay in the kept set (distinct count intact)...
+        assert sk.distinct_estimate() == 8.0
+        # ...but quantiles exclude them instead of returning NaN
+        assert sk.quantile(1.0) == 8.0
+        assert not np.isnan(sk.quantile(0.9))
+        assert sk.quantiles([0.0, 1.0]) == [1.0, 8.0]
+
+    def test_bottomk_est_bytes_matches_codec(self):
+        from sparksketch.agg import BottomKSpec
+        spec = BottomKSpec(k=1024)  # payload-less
+        sk = spec.empty()
+        sk.add_hashes(np.arange(5000, dtype=np.int64))
+        assert len(sk.to_bytes()) <= spec.est_bytes()
