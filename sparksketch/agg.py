@@ -491,7 +491,8 @@ def tree_merge_round_multi(partials: DataFrame, names: Sequence[str],
 def tree_aggregate_multi(partials: DataFrame, names: Sequence[str],
                          collect_max: int = 1024,
                          fanout: int = 64,
-                         blob_bytes: int | None = None) -> dict[str, bytes | None]:
+                         blob_bytes: int | None = None,
+                         est_parts: int | None = None) -> dict[str, bytes | None]:
     """Merge a multi-sketch partials frame to one blob per sketch name.
 
     Up to ``collect_max`` partials are pulled straight to the driver via the
@@ -500,9 +501,14 @@ def tree_aggregate_multi(partials: DataFrame, names: Sequence[str],
     rounds fold ``fanout`` rows into one executor-side first, so the driver
     only ever sees ``collect_max`` rows.  Folds happen in sorted-pid order
     at every level (canonical).  ``blob_bytes`` = per-ROW total size hint
-    (sum of the specs' est_bytes()) capping the collect by bytes."""
+    (sum of the specs' est_bytes()) capping the collect by bytes.
+    ``est_parts`` (when the caller knows the partial count, e.g. it chose
+    the input partitioning) skips the ``.rdd`` partition probe — that
+    conversion runs full plan analysis on the driver, a flat cost worth
+    avoiding in latency-measured paths."""
     collect_max = _budgeted_collect_max(collect_max, blob_bytes)
-    est_parts = partials.rdd.getNumPartitions()
+    if est_parts is None:
+        est_parts = partials.rdd.getNumPartitions()
     while est_parts > collect_max:
         partials = tree_merge_round_multi(partials, names, fanout)
         est_parts = int(np.ceil(est_parts / fanout))

@@ -33,8 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_TURNS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-LEVELS = [8, 32]
-N_PARTS = 128
+LEVELS = [int(x) for x in
+          os.environ.get("PROFILE_LEVELS", "8,32").split(",")]
+N_PARTS = int(os.environ.get("PROFILE_PARTS", "128"))
 
 
 def _steal() -> tuple[int, int]:
