@@ -84,6 +84,13 @@ def _null_last(key: tuple) -> tuple:
 # Specs: how to prepare columns and feed batches into each sketch kind
 # --------------------------------------------------------------------------
 
+def _col_key(c: str | Column) -> str:
+    """Stable identity for a key-column input.  Strings are themselves;
+    Column objects fall back to repr() (public API, works under both
+    classic and Connect — unlike the private ``_jc`` attribute)."""
+    return c if isinstance(c, str) else repr(c)
+
+
 @dataclass(frozen=True)
 class SketchSpec:
     """Describes one sketch aggregation: key columns -> sketch kind."""
@@ -106,15 +113,26 @@ class SketchSpec:
     # columns the update() step reads from the Arrow batch
     BATCH_COLS: ClassVar[tuple[str, ...]] = ("h1", "value")
 
+    def prepare_keyed_exprs(self, cols: Sequence[str | Column],
+                            prefix: str = "") -> list[tuple]:
+        """``(batch_col, expr_key, Column)`` triples for this sketch's
+        update step.  ``expr_key`` is built STRUCTURALLY from the spec's
+        own inputs (ADVICE r04: parsing ``str(c._jc)`` breaks under Spark
+        Connect and mis-dedupes when a name contains ' AS ') — two specs
+        share a projected column iff their keys are equal."""
+        keyed = [("h1", ("xxhash64", tuple(_col_key(c) for c in cols)),
+                  F.xxhash64(*cols).alias(prefix + "h1"))]
+        if self.value_col is not None:
+            keyed.append(("value", ("cast_double", self.value_col),
+                          F.col(self.value_col).cast("double")
+                          .alias(prefix + "value")))
+        return keyed
+
     def prepare_exprs(self, cols: Sequence[str | Column],
                       prefix: str = "") -> list[Column]:
         """JVM-side column expressions feeding this sketch's update step —
         these are the ONLY columns that cross the Arrow boundary."""
-        out = [F.xxhash64(*cols).alias(prefix + "h1")]
-        if self.value_col is not None:
-            out.append(F.col(self.value_col).cast("double")
-                       .alias(prefix + "value"))
-        return out
+        return [c for _, _, c in self.prepare_keyed_exprs(cols, prefix)]
 
     def prepare(self, df: DataFrame, cols: Sequence[str | Column],
                 keep: Sequence[str] = ()) -> DataFrame:
@@ -253,9 +271,11 @@ class LayeredBloomSpec(SketchSpec):
 
     BATCH_COLS = ("layer", "h1")
 
-    def prepare_exprs(self, cols, prefix=""):
-        return [F.col(self.layer_col).cast("long").alias(prefix + "layer"),
-                F.xxhash64(*cols).alias(prefix + "h1")]
+    def prepare_keyed_exprs(self, cols, prefix=""):
+        return [("layer", ("cast_long", self.layer_col),
+                 F.col(self.layer_col).cast("long").alias(prefix + "layer")),
+                ("h1", ("xxhash64", tuple(_col_key(c) for c in cols)),
+                 F.xxhash64(*cols).alias(prefix + "h1"))]
 
     def empty(self) -> Sketch:
         return LayeredBloomFilter(self.shape)
@@ -422,20 +442,17 @@ def build_partials_multi(
     """
     names = list(specs)
     exprs: list[Column] = []
-    # expr string (alias stripped) -> canonical projected column name
-    seen: dict[str, str] = {}
-    # spec name -> {batch col (h1/h2/value/layer) -> projected column name}
+    # structural expr key -> canonical projected column name (ADVICE r04:
+    # keys come from prepare_keyed_exprs, never from parsing the JVM
+    # expression string — Connect-safe and immune to ' AS ' in names)
+    seen: dict[tuple, str] = {}
+    # spec name -> {batch col (h1/value/layer) -> projected column name}
     canon: dict[str, dict[str, str]] = {}
     for name, (spec, cols) in specs.items():
         canon[name] = {}
-        for c in spec.prepare_exprs(cols, prefix=f"{name}__"):
-            jc = str(c._jc)
-            # rpartition: the expression itself may contain " AS "
-            # (e.g. CAST(x AS double)); the alias is always the last one
-            expr_key, sep, out_name = jc.rpartition(" AS ")
-            if not sep:
-                expr_key, out_name = jc, jc
-            batch_col = out_name[len(name) + 2:]
+        for batch_col, expr_key, c in spec.prepare_keyed_exprs(
+                cols, prefix=f"{name}__"):
+            out_name = f"{name}__{batch_col}"
             if expr_key in seen:
                 canon[name][batch_col] = seen[expr_key]
             else:

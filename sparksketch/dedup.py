@@ -338,19 +338,25 @@ def winnowed_fingerprints(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def fingerprint_overlap_pairs(fp_df: DataFrame, id_col: str,
-                              min_shared: int = 2) -> DataFrame:
+                              min_shared: int = 2,
+                              max_bucket_rows: int | None = None
+                              ) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared winnowed
     fingerprints — an inverted-index join on fingerprint values (only
-    fingerprints shuffle, never text)."""
+    fingerprints shuffle, never text).  ``max_bucket_rows`` bounds a
+    pathological posting list (a fingerprint shared by a viral
+    boilerplate snippet) via with_bucket_sub — opt-in: cross-sub shared
+    fingerprints stop counting toward ``min_shared``."""
     from pyspark import StorageLevel
     # persist: both join sides read `ex`, and without it the winnowing
     # UDF upstream evaluates once per side
     ex = track_cache(
         fp_df.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    a = ex.select(F.col(id_col).alias("id_a"), "fp")
-    b = ex.select(F.col(id_col).alias("id_b"), "fp")
-    return (a.join(b, ["fp"])
+    ex = with_bucket_sub(ex, ["fp"], id_col, max_bucket_rows)
+    a = ex.select(F.col(id_col).alias("id_a"), "fp", "sub")
+    b = ex.select(F.col(id_col).alias("id_b"), "fp", "sub")
+    return (a.join(b, ["fp", "sub"])
              .filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("shared"))
@@ -436,7 +442,8 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
                       max_hamming: int = 3,
-                      sh: DataFrame | None = None) -> DataFrame:
+                      sh: DataFrame | None = None,
+                      max_bucket_rows: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Candidate generation blocks on ``max_hamming + 1`` contiguous bands
@@ -480,9 +487,15 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
     # re-evaluates the SimHash vote UDF once PER SIDE (no exchange reuse
     # across a broadcast join) — persist makes it run once
     banded = track_cache(banded.persist(StorageLevel.MEMORY_AND_DISK))
+    # hot-bucket protection (opt-in: splitting a band bucket trades the
+    # exact pigeonhole recall for a bounded per-bucket pair count — a
+    # pair whose only co-bucketed band got split can be missed)
+    banded = with_bucket_sub(banded, ["band", "key"], id_col,
+                             max_bucket_rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.key") == F.col("b.key"),
+                       F.col("a.sub") == F.col("b.sub"),
                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"),
@@ -495,41 +508,110 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
                 .select("id_a", "id_b", "hamming"))
 
 
+# -- bounded bucket joins (hot-key protection) -------------------------------
+
+def with_bucket_sub(df: DataFrame, key_cols: list[str], id_col: str,
+                    max_bucket_rows: int | None) -> DataFrame:
+    """Append a ``sub`` column splitting oversized buckets (round-4
+    VERDICT #6: band/bucket self-joins had no cap on a pathological
+    bucket, while the IVF path already splits hot cells —
+    similarity.ivf_write_index).
+
+    A bucket with n rows produces O(n^2) candidate pairs in a self-join;
+    one adversarial key (all-identical band bits, a viral boilerplate
+    text) turns the join quadratic.  Buckets over ``max_bucket_rows``
+    get split into ceil(n / max_bucket_rows) sub-buckets by a secondary
+    id hash, bounding per-(bucket, sub) pair counts at the cost of the
+    cross-sub candidates — a documented recall trade a caller opts into
+    (default None keeps the exact contract; OR-amplified multi-band
+    callers lose little because a true pair can still collide in another
+    band).  The oversize map is tiny (only buckets above the cap) and
+    broadcast; normal buckets take the ``coalesce(..., 1)`` fast path."""
+    if max_bucket_rows is None:
+        return df.withColumn("sub", F.lit(0))
+    if max_bucket_rows < 1:
+        raise ValueError(f"max_bucket_rows must be >= 1, "
+                         f"got {max_bucket_rows}")
+    over = (df.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_rows)
+            .withColumn("_n_sub",
+                        F.ceil(F.col("_n") / max_bucket_rows).cast("int"))
+            .drop("_n"))
+    return (df.join(F.broadcast(over), key_cols, "left")
+            .withColumn("sub", F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")),
+                F.coalesce(F.col("_n_sub"), F.lit(1))))
+            .drop("_n_sub"))
+
+
 # -- embedding cosine near-dup ----------------------------------------------
 
 def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """Embedding near-duplicate pairs: random-hyperplane LSH bucket join +
-    exact cosine verification, all in JVM expressions.
+                        n_planes: int = 8, n_bands: int = 8,
+                        seed: int = 42,
+                        max_bucket_rows: int | None = None) -> DataFrame:
+    """Embedding near-duplicate pairs: OR-amplified random-hyperplane LSH
+    bucket joins + exact cosine verification.
 
-    Sign-LSH: bucket = sign bits of dot(v, r_i) for n_planes deterministic
-    pseudo-random planes; near-identical vectors collide w.h.p.  The exact
-    cosine is then computed only for bucket-colliding pairs."""
+    Sign-LSH with ``n_bands`` INDEPENDENT bands of ``n_planes`` planes
+    each (round-4 VERDICT #4: one band alone has collision probability
+    c = (1 - theta/pi)^n_planes, only ~0.43 at cosine exactly 0.95 with
+    8 planes — it HALVES recall in the near-threshold regime).  A pair
+    is a candidate if it collides in ANY band, so recall is amplified to
+    1 - (1 - c)^n_bands (~0.99 at cosine 0.95 with the 8x8 default,
+    ~0.9999 with 16 bands) — the same OR-amplification as the minhash
+    band path (lsh_candidate_pairs).
+
+    Plan shape at 100 TB: all n_bands * n_planes plane dots are computed
+    in ONE pass (a single matmul crossing above similarity.HIGH_DIM),
+    band codes explode to (id, band, bucket) rows, candidates come from
+    a band+bucket equi-join (never all-pairs), pairs dedup BEFORE the
+    exact-cosine verify so a pair colliding in many bands is scored
+    once, and vectors rejoin by id only for surviving candidates.
+    ``max_bucket_rows`` bounds pathological buckets (with_bucket_sub)."""
+    from pyspark import StorageLevel
     from .similarity import _plane_dots, _sign_code
+    if n_planes < 1 or n_bands < 1:
+        raise ValueError("n_planes and n_bands must be >= 1")
     rng = np.random.default_rng(seed)
     dim = len(emb_df.select(vec_col).first()[0])
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_bands * n_planes, dim))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     # plane dots: JVM literals at low dim, ONE pandas matmul UDF above
     # similarity.HIGH_DIM (per-dimension literal expressions at dim 768+
     # bloat the plan past what codegen tolerates)
-    bucket = _sign_code(_plane_dots(v, planes), n_planes)
-    from pyspark import StorageLevel
-    base = track_cache(  # one bucket pass, not two; caller releases
+    dots = _plane_dots(v, planes)
+    band_codes = F.array(*[
+        _sign_code(F.slice(dots, band * n_planes + 1, n_planes), n_planes)
+        for band in range(n_bands)])
+    base = track_cache(  # one vector/code pass; caller releases
         emb_df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"),
-                      bucket.alias("bucket"))
+                      band_codes.alias("codes"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    a, b = base.alias("a"), base.alias("b")
-    cos = (F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+    codes = base.select(
+        id_col, F.posexplode("codes").alias("band", "bucket"))
+    codes = with_bucket_sub(codes, ["band", "bucket"], id_col,
+                            max_bucket_rows)
+    a, b = codes.alias("a"), codes.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.bucket") == F.col("b.bucket"),
+                       F.col("a.sub") == F.col("b.sub"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    va = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    cos = (F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
                                   lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
-           / (F.col("a.nrm") * F.col("b.nrm")))
-    return (a.join(b, [F.col("a.bucket") == F.col("b.bucket"),
-                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-             .withColumn("cosine", F.round(cos, 6))
-             .filter(F.col("cosine") >= threshold)
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"), "cosine"))
+           / (F.col("na") * F.col("nb")))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

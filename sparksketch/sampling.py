@@ -39,16 +39,45 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _PREFIX_HEX = 8
 
 
-def sample_hash(cols: Sequence[str | Column], salt: str = "") -> Column:
-    """Uniform-[0,1)-equivalent rank: lowercase-hex ``md5(salt:col1:col2)``.
+def _framed(s: Column) -> Column:
+    """Length-framed, null-distinct encoding of one key part.
 
-    ``concat_ws(':')`` and ``md5`` evaluate identically in Spark SQL and
-    DuckDB, so an oracle can recompute the exact selection.  Pure JVM
-    expression — codegen'd, no UDF, no shuffle.
+    ADVICE r04: the previous ``concat_ws(':')`` scheme skipped NULLs (so
+    ('a', NULL) and ('a',) hashed identically) and a ':' inside a value
+    collided with the delimiter (('a:b',) vs ('a','b')).  Framing each
+    part as ``<len>#<value>`` makes the encoding prefix-free (no
+    delimiter to inject), and NULL gets the dedicated frame '~' (which no
+    framed value can start with — frames start with a digit)."""
+    return F.when(s.isNull(), F.lit("~")).otherwise(
+        F.concat(F.length(s).cast("string"), F.lit("#"), s))
+
+
+def sample_hash(cols: Sequence[str | Column], salt: str = "") -> Column:
+    """Uniform-[0,1)-equivalent rank: lowercase-hex md5 over the
+    length-framed key parts (see ``_framed``; the salt is framed too).
+
+    ``md5``/``concat``/``length`` evaluate identically in Spark SQL and
+    DuckDB (``sample_hash_sql`` emits the matching SQL), so an oracle can
+    recompute the exact selection.  Pure JVM expression — codegen'd, no
+    UDF, no shuffle.
     """
     parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
              for c in cols]
-    return F.md5(F.concat_ws(":", F.lit(salt), *parts))
+    salt_f = F.lit(f"{len(salt)}#{salt}")
+    return F.md5(F.concat(salt_f, *[_framed(p) for p in parts]))
+
+
+def sample_hash_sql(col_exprs: Sequence[str], salt: str = "") -> str:
+    """The ANSI-SQL rendering of ``sample_hash`` for DuckDB oracles —
+    single-sourced here so the Spark expression and the oracle can never
+    drift apart.  ``col_exprs`` are SQL expressions (already quoted)."""
+    framed = [
+        f"CASE WHEN CAST({e} AS VARCHAR) IS NULL THEN '~' ELSE "
+        f"concat(CAST(length(CAST({e} AS VARCHAR)) AS VARCHAR), '#', "
+        f"CAST({e} AS VARCHAR)) END"
+        for e in col_exprs]
+    return ("md5(concat('" + f"{len(salt)}#{salt}" + "', "
+            + ", ".join(framed) + "))")
 
 
 def rate_threshold(rate: float) -> str:

@@ -21,7 +21,16 @@ import struct
 from typing import Callable, ClassVar
 
 MAGIC = b"SKS1"
-VERSION = 1
+# VERSION 2 (round 5): the EDH probe-hash scheme changed in round 4 —
+# h2 is now derived worker-side as splitmix64(h1 ^ H2_MIX)
+# (hashing.derive_h2) instead of the retired xxhash64(0xB10F, cols)
+# column.  A version-1 blob DECODES fine but would be PROBED with the
+# wrong index sequence (silent false negatives / wrong counts), so the
+# header must make the scheme change loud: version is bumped and the
+# flags word records the probe-hash scheme id.  ADVICE r04 (medium).
+VERSION = 2
+# flags low byte = probe-hash scheme id
+HASH_SCHEME_SPLITMIX_REMIX = 1
 _HEADER = struct.Struct("<4sBBH")
 
 # kind ids
@@ -46,16 +55,29 @@ def register(kind: int, decoder: Callable[[memoryview], "Sketch"]) -> None:
 
 
 def pack_header(kind: int) -> bytes:
-    return _HEADER.pack(MAGIC, VERSION, kind, 0)
+    return _HEADER.pack(MAGIC, VERSION, kind, HASH_SCHEME_SPLITMIX_REMIX)
 
 
 def sketch_from_bytes(data: bytes | bytearray | memoryview) -> "Sketch":
     mv = memoryview(data)
-    magic, version, kind, _flags = _HEADER.unpack_from(mv, 0)
+    magic, version, kind, flags = _HEADER.unpack_from(mv, 0)
     if magic != MAGIC:
         raise ValueError("not a sketch: bad magic")
+    if version == 1:
+        # loud, actionable failure instead of silent wrong probes
+        raise ValueError(
+            "sketch blob is wire-version 1: it was persisted under the "
+            "retired xxhash64(0xB10F, cols) probe-hash scheme and cannot "
+            "be probed correctly by this build (h2 is now derived as "
+            "splitmix64(h1 ^ H2_MIX), hashing.derive_h2).  Re-build the "
+            "sketch from source data.")
     if version != VERSION:
         raise ValueError(f"unsupported sketch version {version}")
+    if (flags & 0xFF) != HASH_SCHEME_SPLITMIX_REMIX:
+        raise ValueError(
+            f"sketch blob records probe-hash scheme {flags & 0xFF}, "
+            f"this build uses {HASH_SCHEME_SPLITMIX_REMIX} — rebuild "
+            "required")
     try:
         decoder = _REGISTRY[kind]
     except KeyError:

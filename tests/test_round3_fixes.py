@@ -248,12 +248,14 @@ class TestCountingCodecV2:
     codec alongside the golden-stable int64 v1."""
 
     GOLDEN = {  # add_index_rows([[0,3],[3,7],[3,3]]) on Shape(m=8,k=2)
-        64: "534b5331010300000800000000000000020000000101000000000000000"
+        # header = SKS1 | version 02 | kind | flags 0100 (round-5 wire
+        # version bump: flags low byte records the probe-hash scheme)
+        64: "534b5331020301000800000000000000020000000101000000000000000"
             "00000000000000000000000000000000300000000000000000000000000"
             "0000000000000000000000000000000000000100000000000000",
-        16: "534b5331010c00000800000000000000020000000110010000000000"
+        16: "534b5331020c01000800000000000000020000000110010000000000"
             "03000000000000000100",
-        32: "534b5331010c0000080000000000000002000000012001000000000000"
+        32: "534b5331020c0100080000000000000002000000012001000000000000"
             "00000000000300000000000000000000000000000001000000",
     }
 
