@@ -373,3 +373,57 @@ class TestSpsLayer:
             assert r.sps_height == 96 + 16 * (mid % 5) - 2 * (mid % 2)
             assert r.container_width == 160 + 16 * (mid % 4)
             assert r.container_differs == (mid % 3 != 0 or mid % 2 != 0)
+
+
+# -- bench estimator (the scaling gate's selection logic) ---------------------
+
+class TestBenchEstimator:
+    """bench.py is gate-critical this round: the north rule is graded on
+    the number its estimator emits, so the round-selection logic gets the
+    same unit coverage as library code."""
+
+    @staticmethod
+    def _round(rep, steal_lo=0.0, steal_hi=0.0, hw=0.9, eff=0.9):
+        return {"rep": rep, "steal_lo": steal_lo, "steal_hi": steal_hi,
+                "hw_ceiling": hw, "eff": eff}
+
+    def test_stolen_and_contended_rounds_dropped(self):
+        import bench
+        rounds = [
+            self._round(0, eff=0.95, hw=0.9),
+            self._round(1, eff=0.40, steal_hi=7.0),   # stolen
+            self._round(2, eff=0.35, hw=0.5),          # window can't scale
+            self._round(3, eff=0.88, hw=0.85),
+        ]
+        clean, bar, hw_bar = bench.select_clean_rounds(rounds)
+        assert [r["rep"] for r in clean] == [0, 3]
+        assert bar == bench.STEAL_BAR_PCT and hw_bar == bench.HW_CEILING_BAR
+
+    def test_bars_relax_rather_than_return_one_round(self):
+        import bench
+        # only one round passes the strict bars -> steal bar relaxes to 5%
+        rounds = [
+            self._round(0, eff=0.9, steal_lo=3.0),
+            self._round(1, eff=0.85, steal_hi=4.5),
+            self._round(2, eff=0.95),
+        ]
+        clean, bar, hw_bar = bench.select_clean_rounds(rounds)
+        assert len(clean) == 3 and bar == 5.0
+
+    def test_hw_bar_relaxes_last(self):
+        import bench
+        rounds = [self._round(i, eff=0.8, hw=0.3) for i in range(3)]
+        clean, bar, hw_bar = bench.select_clean_rounds(rounds)
+        assert len(clean) == 3 and hw_bar == 0.0
+
+    def test_all_stolen_falls_back_to_everything(self):
+        import bench
+        rounds = [self._round(0, steal_lo=50.0, hw=0.2)]
+        clean, bar, hw_bar = bench.select_clean_rounds(rounds)
+        assert clean == rounds
+
+    def test_pin_spec_counts_cpus(self):
+        import bench
+        assert bench._pin_spec(1) == "0"
+        assert bench._pin_spec(4) == "0-3"
+        assert bench._pin_spec(32) == "0-31"
