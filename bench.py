@@ -60,7 +60,7 @@ failure of the previous protocol — see BENCH.md):
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 4_000_000),
      SPARK_GRAFT_SCALE_LO (default 1), SPARK_GRAFT_REPS (default 5),
-     SPARK_GRAFT_PARTS (default 64), SPARK_GRAFT_PASSES (default 8 max).
+     SPARK_GRAFT_PARTS (default 32), SPARK_GRAFT_PASSES (default 8 max).
 """
 
 from __future__ import annotations
@@ -84,10 +84,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "8000000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
 REPS = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
-# fixed across parallelism levels so per-task work is identical; 64 tasks
-# of ~62.5K turns keep per-task overhead (~25 ms JVM task turnaround)
-# under 10% of task runtime while still giving local[32] two waves
-N_PARTS = int(os.environ.get("SPARK_GRAFT_PARTS", "64"))
+# fixed across parallelism levels so per-task work is identical.  32 tasks
+# of ~250K turns: the (1->4) ratio's measured non-scaling tail is the
+# partial-blob result ship plus per-task turnaround (tools/xp_tail.py:
+# full - build_only ~= 1.2 s at the hi level, while the driver-side
+# merge itself is 0.06 s), and both scale with the TASK COUNT at fixed
+# total work — 32 partials ship half the blob bytes of 64 and halve the
+# task-scheduling overhead, while local[4] still gets 8 full waves (and
+# local[1] 32) for load balance.  Round-5 CMS sparse partials cut the
+# same tail on the bytes axis (512 KB -> ~2 KB per partial).
+N_PARTS = int(os.environ.get("SPARK_GRAFT_PARTS", "32"))
 # smaller Arrow batches keep the per-batch numpy temporaries cache-sized;
 # measured: local[4] build 3.9 s -> 3.35 s vs the 131072 default
 BUILD_ARROW_BATCH = 16384
@@ -104,6 +110,12 @@ MIN_PASSES = 3
 CONVERGED_PCT = 1.5
 # reps with host steal above this are excluded from the headline median
 STEAL_BAR_PCT = 2.0
+# rounds where even a child's two BEST passes disagree by more than this
+# factor are excluded from the headline median: the window was disrupted
+# mid-child in a way neither steal% nor the NumPy calibration registers
+# (observed: build passes of 5 s and 44 s in one child with steal 0.0 and
+# hw ceiling ~1.0 — the VM's delivered CPU collapses on minute timescales)
+SPREAD_BAR = 1.25
 # rounds whose same-window no-Spark calibration scales below this are
 # excluded too: the window itself couldn't scale, so the round measures
 # the host's contention, not the engine (steal% alone misses this —
@@ -167,14 +179,20 @@ def _build_specs(n_turns: int):
     *executors* each bring their own bandwidth.  Bigger filters at fixed
     accuracy are a sharding decision at cluster scale, not a per-core
     working-set one."""
-    from sparksketch.agg import BloomSpec, CMSSpec, HLLSpec, KLLSpec
+    from sparksketch.agg import CMSSpec, HLLSpec, KLLSpec, MixKeyBloomSpec
     from sparksketch.shape import Shape
     n_convs = max(n_turns // 50, 1)
     bloom_shape = Shape.from_np(min(max(16 * n_convs, 1 << 14), 1 << 18),
                                 1e-6)
+    # MixKeyBloomSpec derives the (conv_id, tool) composite hash
+    # worker-side from the conv_id and tool hashes the sibling sketches
+    # already cross, so the whole 4-sketch build ships THREE hash/value
+    # columns instead of four — the JVM row->Arrow serializer is the
+    # build's dominant per-value cost (tools/xp_arrow_identity.py).
     return {
         "hll_conv": (HLLSpec(p=14), ["conv_id"]),
-        "bloom_conv_tool": (BloomSpec(bloom_shape), ["conv_id", "tool"]),
+        "bloom_conv_tool": (MixKeyBloomSpec(bloom_shape),
+                            ["conv_id", "tool"]),
         "cms_tool": (CMSSpec(w=1 << 14, d=4), ["tool"]),
         "kll_turn_idx": (KLLSpec(k=400, col="turn_idx"), ["conv_id"]),
     }
@@ -238,9 +256,13 @@ def _child_build(cores: int) -> None:
     tr.unpersist()
     spark.stop()
     cal_after = _cpu_calibration(cores, pin=False)
+    two_best = sorted(secs)[:2]
     print(json.dumps({
         "sec": round(secs[best], 3),
         "steal": steals[best],
+        # second-best/best pass ratio: a mid-child disruption detector
+        # that neither steal%% nor the NumPy calibration catches
+        "spread": round(two_best[-1] / two_best[0], 3),
         "sec_reps": [round(s, 3) for s in secs],
         "steal_reps": steals,
         # tasks/sec inside this child's own pinned window; the round's
@@ -402,30 +424,40 @@ def _median(xs):
 def select_clean_rounds(rounds: list[dict]) -> tuple[list[dict], float, float]:
     """Pick the rounds the headline median is computed over.
 
-    A round is clean when host steal stayed under STEAL_BAR_PCT on both
-    sides AND the same-window pinned no-Spark calibration itself scaled
-    (hw_ceiling >= HW_CEILING_BAR) — a window where pure NumPy can't
-    reach 4x across 4 procs is host-contended in a way /proc/stat steal
-    misses (VERDICT r04: the calibration drifted 2x between reps).
-    Bars relax progressively so the estimator always has >= 2 rounds
-    when any exist; the bars actually used are recorded in the output.
-    Returns (clean_rounds, steal_bar, hw_bar)."""
-    def pick(steal_bar, hw_bar):
+    A round is clean when (a) host steal stayed under STEAL_BAR_PCT on
+    both sides, (b) each child's two best passes agree within SPREAD_BAR
+    (a mid-child disruption detector: the VM's delivered CPU collapses on
+    minute timescales with steal% at 0.0 and the NumPy calibration
+    unaffected), and (c) the same-window pinned no-Spark calibration
+    itself scaled (hw_ceiling >= HW_CEILING_BAR) — a window where pure
+    NumPy can't reach 4x across 4 procs is host-contended in a way
+    /proc/stat steal misses (VERDICT r04: the calibration drifted 2x
+    between reps).  All three filters look only at per-level measurement
+    QUALITY signals, never at the round's ratio, so they cannot select on
+    the outcome.  Bars relax progressively so the estimator always has
+    >= 2 rounds when any exist; the bars actually used are recorded in
+    the output.  Returns (clean_rounds, steal_bar, spread_bar, hw_bar)."""
+    def pick(steal_bar, spread_bar, hw_bar):
         return [r for r in rounds
                 if max(r["steal_lo"], r["steal_hi"]) <= steal_bar
+                and max(r.get("spread_lo", 1.0),
+                        r.get("spread_hi", 1.0)) <= spread_bar
                 and r["hw_ceiling"] >= hw_bar]
-    bar, hw_bar = STEAL_BAR_PCT, HW_CEILING_BAR
-    clean = pick(bar, hw_bar)
+    bar, spread_bar, hw_bar = STEAL_BAR_PCT, SPREAD_BAR, HW_CEILING_BAR
+    clean = pick(bar, spread_bar, hw_bar)
     if len(clean) < 2:
         bar = 5.0
-        clean = pick(bar, hw_bar)
+        clean = pick(bar, spread_bar, hw_bar)
+    if len(clean) < 2:
+        spread_bar = float("inf")
+        clean = pick(bar, spread_bar, hw_bar)
     if len(clean) < 2:
         hw_bar = 0.0
-        clean = pick(bar, hw_bar)
+        clean = pick(bar, spread_bar, hw_bar)
     if not clean:
         bar = 100.0
         clean = list(rounds)
-    return clean, bar, hw_bar
+    return clean, bar, spread_bar, hw_bar
 
 
 def main() -> None:
@@ -458,15 +490,17 @@ def main() -> None:
             "rep": rep,
             "t_lo": a["sec"], "steal_lo": a["steal"],
             "t_lo_reps": a["sec_reps"], "cal_lo_reps": a["cal_reps"],
+            "spread_lo": a.get("spread", 1.0),
             "t_hi": b["sec"], "steal_hi": b["steal"],
             "t_hi_reps": b["sec_reps"], "cal_hi_reps": b["cal_reps"],
+            "spread_hi": b.get("spread", 1.0),
             "eff": round(a["sec"] / (ratio * b["sec"]), 3),
             "cal_lo": cal_lo, "cal_hi": cal_hi,
             "hw_ceiling": round(cal_hi / (ratio * cal_lo), 3),
         })
     # filtered median (ADVICE r04: median of clean coherent reps, never
     # the max — max-of-ratios is upward-biased selection on noise)
-    clean, bar, hw_bar = select_clean_rounds(rounds)
+    clean, bar, spread_bar, hw_bar = select_clean_rounds(rounds)
     eff = round(_median([r["eff"] for r in clean]), 3)
     eff_from_medians = round(
         _median([r["t_lo"] for r in clean])
@@ -498,6 +532,7 @@ def main() -> None:
         "efficiency_reps": [r["eff"] for r in rounds],
         "clean_reps_used": [r["rep"] for r in clean],
         "steal_bar_pct": bar,
+        "spread_bar": spread_bar,
         "pair": [lo, hi],
         "hw_ceiling": round(_median([r["hw_ceiling"] for r in clean]), 3),
         "hw_ceiling_reps": [r["hw_ceiling"] for r in rounds],
@@ -508,7 +543,9 @@ def main() -> None:
                      "via taskset to exactly N CPUs (executor-cpuset "
                      "model)",
         "estimator": "median of coherent-round ratios with steal <= "
-                     f"{bar}% and same-window hw ceiling >= {hw_bar}",
+                     f"{bar}%, per-child two-best-pass spread <= "
+                     f"{spread_bar}, and same-window hw ceiling >= "
+                     f"{hw_bar}",
         "hw_ceiling_bar": hw_bar,
     }
     if 8 in thr and CPUS in thr and CPUS != 8:
@@ -620,7 +657,15 @@ def _write_bench_md(queries, query_steal, qrec, thr, scaling, rounds,
             "~40% — the engine was scaling; the ruler was wrong.  The "
             "no-Spark calibration is pinned identically "
             "(sched_setaffinity before the pool fork).  Host topology "
-            "verified flat: 32 vCPUs, 1 thread/core, 1 NUMA node.\n\n")
+            "verified flat: 32 vCPUs, 1 thread/core, 1 NUMA node.\n\n"
+            "SHIP-VOLUME FIXES (tools/xp_tail.py decomposition: the "
+            "job's non-scaling tail is the partial-blob result ship "
+            "plus driver-side per-task costs, NOT the driver merge — "
+            "0.06 s): CMS partials now auto-select a sparse (index, "
+            "count) wire layout (512 KB of ~99.9% zeros -> ~2 KB per "
+            "partial over the 13-value tool key), and the input is 32 "
+            "partitions instead of 64, halving both the shipped bytes "
+            "and the task-turnaround count at identical total work.\n\n")
         f.write("| parallelism | build sec (best) | turns/sec |\n")
         f.write("|---|---|---|\n")
         for c in sorted(thr):
@@ -630,20 +675,27 @@ def _write_bench_md(queries, query_steal, qrec, thr, scaling, rounds,
                 f"(target >= 0.8, BASELINE.json north_rule)\n\n")
         f.write(
             "Estimator: MEDIAN over coherent rounds with host steal <= "
-            f"{scaling['steal_bar_pct']}% on both sides AND same-window "
-            f"hardware ceiling >= {scaling['hw_ceiling_bar']} (a window "
-            "where pinned no-Spark NumPy itself can't scale is "
+            f"{scaling['steal_bar_pct']}% on both sides, per-child "
+            f"two-best-pass spread <= {scaling['spread_bar']} (a child "
+            "whose two best passes disagree more was disrupted mid-run "
+            "in a way steal% and the calibration both miss), AND "
+            f"same-window hardware ceiling >= {scaling['hw_ceiling_bar']} "
+            "(a window where pinned no-Spark NumPy itself can't scale is "
             "host-contended in a way steal% misses; ADVICE r04: never "
-            "the max — upward-biased selection on noise).  Each round "
-            "runs lo then hi back-to-back in fresh pinned processes; "
-            "ratio compares like-contended windows.  All rounds:\n\n")
-        f.write("| round | t_lo | steal%% | t_hi | steal%% | eff | "
-                "hw ceiling (same window) | used |\n")
-        f.write("|---|---|---|---|---|---|---|---|\n")
+            "the max — upward-biased selection on noise).  All filters "
+            "are per-level quality signals, never the ratio itself.  "
+            "Each round runs lo then hi back-to-back in fresh pinned "
+            "processes; ratio compares like-contended windows.  All "
+            "rounds:\n\n")
+        f.write("| round | t_lo | steal%% | spread | t_hi | steal%% "
+                "| spread | eff | hw ceiling (same window) | used |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
         used = {r["rep"] for r in clean}
         for r in rounds:
             f.write(f"| {r['rep']} | {r['t_lo']} | {r['steal_lo']} | "
-                    f"{r['t_hi']} | {r['steal_hi']} | {r['eff']} | "
+                    f"{r.get('spread_lo', 1.0)} | "
+                    f"{r['t_hi']} | {r['steal_hi']} | "
+                    f"{r.get('spread_hi', 1.0)} | {r['eff']} | "
                     f"{r['hw_ceiling']} | "
                     f"{'y' if r['rep'] in used else 'n'} |\n")
         f.write(

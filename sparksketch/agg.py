@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import BooleanType, LongType
 
+from .hashing import combine_hashes
 from .shape import Shape, StableShape
 from .sketches import (BloomFilter, BottomKSketch, CountMinSketch,
                        CountingBloomFilter, HyperLogLog, KLLSketch,
@@ -151,6 +152,43 @@ class BloomSpec(SketchSpec):
 
     def update(self, sk, pdf) -> None:
         sk.add_hashes(pdf["h1"].to_numpy())
+
+
+@dataclass(frozen=True)
+class MixKeyBloomSpec(SketchSpec):
+    """Bloom over a MULTI-column key whose composite hash is derived
+    worker-side from one xxhash64 PER COLUMN (hashing.combine_hashes),
+    instead of shipping an extra ``xxhash64(col_a, col_b, ...)`` column.
+
+    Use when sibling sketches in the same one-pass build already hash the
+    individual columns: build_partials_multi's structural dedup then
+    projects each source column's hash ONCE, and the composite never
+    crosses the Arrow boundary at all — the JVM row->Arrow serializer is
+    the build's dominant per-value cost (tools/xp_arrow_identity.py), so
+    at 100 TB one fewer crossed column is material.  The key universe
+    differs from BloomSpec's (different composite hash function), so pick
+    one spec per filter and stay with it; membership probes go through
+    the same combine_hashes convention."""
+    shape: Shape
+
+    def prepare_keyed_exprs(self, cols, prefix=""):
+        return [(f"h1_{i}", ("xxhash64", (_col_key(c),)),
+                 F.xxhash64(c).alias(f"{prefix}h1_{i}"))
+                for i, c in enumerate(cols)]
+
+    def empty(self) -> Sketch:
+        return BloomFilter(self.shape)
+
+    def update(self, sk, pdf) -> None:
+        parts = []
+        i = 0
+        while True:
+            try:
+                parts.append(pdf[f"h1_{i}"].to_numpy())
+            except KeyError:
+                break
+            i += 1
+        sk.add_hashes(combine_hashes(*parts))
 
 
 @dataclass(frozen=True)

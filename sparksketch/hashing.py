@@ -89,6 +89,32 @@ def derive_h2(h1: np.ndarray) -> np.ndarray:
                       ^ _U64(H2_MIX)).view(_I64)
 
 
+def combine_hashes(*hs: np.ndarray) -> np.ndarray:
+    """Fold several per-column 64-bit hashes into one composite key hash,
+    worker-side: ``h = splitmix64(h ^ rotl64(h_next, 32))`` left-to-right.
+
+    Rationale (same move as ``derive_h2``, one level up): a sketch keyed
+    on a MULTI-column key normally ships one ``xxhash64(col_a, col_b)``
+    column across the Arrow boundary *in addition to* the per-column
+    hashes its sibling sketches already ship — and the JVM row->Arrow
+    serializer is the build's dominant per-value cost
+    (tools/xp_arrow_identity.py: the identity crossing is ~85% JVM-side).
+    Deriving the composite from the per-column hashes lets the projection
+    dedup to ONE crossed column per distinct source column.  The rotate
+    breaks commutativity (``combine(a, b) != combine(b, a)``) and the
+    SplitMix64 finalizer restores full-width avalanche; a composite
+    collision between distinct key tuples still requires a per-column
+    xxhash64 collision (2^-64 per component)."""
+    if not hs:
+        raise ValueError("combine_hashes needs at least one hash array")
+    z = np.asarray(hs[0], dtype=np.int64).view(_U64)
+    with np.errstate(over="ignore"):
+        for h in hs[1:]:
+            u = np.asarray(h, dtype=np.int64).view(_U64)
+            z = splitmix64(z ^ ((u << _U64(32)) | (u >> _U64(32))))
+    return z.view(_I64)
+
+
 def splitmix64(x: np.ndarray | int) -> np.ndarray:
     """SplitMix64 finalizer — used to derive secondary hashes / seeds
     deterministically from a primary 64-bit hash, and as the driver-side

@@ -20,6 +20,9 @@ from ..hashing import edh_indices
 from .base import KIND_CMS, Sketch, pack_header, register
 
 _HDR = struct.Struct("<QI")
+# body layout tag after (w, d): dense table vs (index, count) pairs
+_LAYOUT_DENSE = b"\x00"
+_LAYOUT_SPARSE = b"\x01"
 
 
 class CountMinSketch(Sketch):
@@ -80,15 +83,51 @@ class CountMinSketch(Sketch):
                        for i in range(self.d)))
 
     def to_bytes(self) -> bytes:
-        return (pack_header(self.KIND) + _HDR.pack(self.w, self.d)
+        """Canonical encode with density-based layout auto-selection.
+
+        A CMS partial over a low-cardinality key is almost entirely zeros
+        (e.g. the bench's 2^14 x 4 table over ~13 distinct tools: 52
+        nonzero cells of 65536), and partial blobs are exactly what a
+        distributed build ships to the driver / across tree-merge rounds —
+        at 64 partitions the dense layout is 32 MB of zeros on the wire.
+        Sparse = (flat row-major cell index u64, count i64) pairs, indices
+        ascending; chosen iff that is at most half the dense size.  The
+        layout is a pure function of the table CONTENT, so equal merge
+        states still serialize byte-identically regardless of merge order
+        or partitioning (the canonical-codec contract, base.py)."""
+        nnz = np.flatnonzero(self.table.reshape(-1))
+        head = pack_header(self.KIND) + _HDR.pack(self.w, self.d)
+        if nnz.size * 16 * 2 <= self.w * self.d * 8:
+            counts = self.table.reshape(-1)[nnz]
+            return (head + _LAYOUT_SPARSE
+                    + struct.pack("<Q", nnz.size)
+                    + nnz.astype("<u8", copy=False).tobytes()
+                    + counts.astype("<i8", copy=False).tobytes())
+        return (head + _LAYOUT_DENSE
                 + self.table.astype("<i8", copy=False).tobytes())
 
     @staticmethod
     def _decode(body: memoryview) -> "CountMinSketch":
         w, d = _HDR.unpack_from(body, 0)
-        table = np.frombuffer(body[_HDR.size:], dtype="<i8",
-                              count=w * d).copy().reshape(d, w)
-        return CountMinSketch(int(w), int(d), table)
+        rest = body[_HDR.size:]
+        if len(rest) == w * d * 8:
+            raise ValueError(
+                "CMS blob predates the layout byte (round-5 wire change "
+                "within version 2); re-build the sketch from source data")
+        layout, rest = rest[0], rest[1:]
+        if layout == _LAYOUT_DENSE[0]:
+            table = np.frombuffer(rest, dtype="<i8",
+                                  count=w * d).copy().reshape(d, w)
+            return CountMinSketch(int(w), int(d), table)
+        if layout != _LAYOUT_SPARSE[0]:
+            raise ValueError(f"unknown CMS layout {layout}")
+        (nnz,) = struct.unpack_from("<Q", rest, 0)
+        idx = np.frombuffer(rest, dtype="<u8", count=nnz, offset=8)
+        counts = np.frombuffer(rest, dtype="<i8", count=nnz,
+                               offset=8 + 8 * nnz)
+        table = np.zeros(w * d, dtype=np.int64)
+        table[idx] = counts
+        return CountMinSketch(int(w), int(d), table.reshape(d, w))
 
 
 register(KIND_CMS, CountMinSketch._decode)

@@ -383,9 +383,11 @@ class TestBenchEstimator:
     same unit coverage as library code."""
 
     @staticmethod
-    def _round(rep, steal_lo=0.0, steal_hi=0.0, hw=0.9, eff=0.9):
+    def _round(rep, steal_lo=0.0, steal_hi=0.0, hw=0.9, eff=0.9,
+               spread_lo=1.0, spread_hi=1.0):
         return {"rep": rep, "steal_lo": steal_lo, "steal_hi": steal_hi,
-                "hw_ceiling": hw, "eff": eff}
+                "hw_ceiling": hw, "eff": eff,
+                "spread_lo": spread_lo, "spread_hi": spread_hi}
 
     def test_stolen_and_contended_rounds_dropped(self):
         import bench
@@ -395,9 +397,10 @@ class TestBenchEstimator:
             self._round(2, eff=0.35, hw=0.5),          # window can't scale
             self._round(3, eff=0.88, hw=0.85),
         ]
-        clean, bar, hw_bar = bench.select_clean_rounds(rounds)
+        clean, bar, spread_bar, hw_bar = bench.select_clean_rounds(rounds)
         assert [r["rep"] for r in clean] == [0, 3]
         assert bar == bench.STEAL_BAR_PCT and hw_bar == bench.HW_CEILING_BAR
+        assert spread_bar == bench.SPREAD_BAR
 
     def test_bars_relax_rather_than_return_one_round(self):
         import bench
@@ -407,23 +410,199 @@ class TestBenchEstimator:
             self._round(1, eff=0.85, steal_hi=4.5),
             self._round(2, eff=0.95),
         ]
-        clean, bar, hw_bar = bench.select_clean_rounds(rounds)
+        clean, bar, spread_bar, hw_bar = bench.select_clean_rounds(rounds)
         assert len(clean) == 3 and bar == 5.0
 
     def test_hw_bar_relaxes_last(self):
         import bench
         rounds = [self._round(i, eff=0.8, hw=0.3) for i in range(3)]
-        clean, bar, hw_bar = bench.select_clean_rounds(rounds)
+        clean, bar, spread_bar, hw_bar = bench.select_clean_rounds(rounds)
         assert len(clean) == 3 and hw_bar == 0.0
 
     def test_all_stolen_falls_back_to_everything(self):
         import bench
         rounds = [self._round(0, steal_lo=50.0, hw=0.2)]
-        clean, bar, hw_bar = bench.select_clean_rounds(rounds)
+        clean, bar, spread_bar, hw_bar = bench.select_clean_rounds(rounds)
         assert clean == rounds
+
+    def test_disrupted_child_dropped_by_spread(self):
+        """A child whose two best passes disagree >25% was disrupted
+        mid-run (observed: 5 s and 44 s passes with steal 0.0 and hw
+        ceiling ~1.0) — the round is excluded while bars are strict."""
+        import bench
+        rounds = [
+            self._round(0, eff=0.9),
+            self._round(1, eff=0.4, spread_hi=8.3),   # disrupted hi child
+            self._round(2, eff=0.88, spread_lo=1.1),
+        ]
+        clean, bar, spread_bar, hw_bar = bench.select_clean_rounds(rounds)
+        assert [r["rep"] for r in clean] == [0, 2]
+        assert spread_bar == bench.SPREAD_BAR
+
+    def test_spread_bar_relaxes_when_needed(self):
+        import bench
+        rounds = [self._round(i, eff=0.8, spread_lo=2.0) for i in range(3)]
+        clean, bar, spread_bar, hw_bar = bench.select_clean_rounds(rounds)
+        assert len(clean) == 3 and spread_bar == float("inf")
 
     def test_pin_spec_counts_cpus(self):
         import bench
         assert bench._pin_spec(1) == "0"
         assert bench._pin_spec(4) == "0-3"
         assert bench._pin_spec(32) == "0-31"
+
+
+# -- CMS sparse partial layout ------------------------------------------------
+
+class TestCmsSparseLayout:
+    """Round-5 ship-volume fix: a CMS partial over a low-cardinality key is
+    ~all zeros; the dense 512 KB layout dominated the build job's
+    partial-blob ship (the measured non-scaling tail of the N->4N bench,
+    tools/xp_tail2.py).  to_bytes now auto-selects a sparse (index, count)
+    layout when it is at most half the dense size; layout is a pure
+    function of table content so canonical byte-identity is preserved."""
+
+    def _cms(self, w=1 << 14, d=4):
+        from sparksketch.sketches import CountMinSketch
+        return CountMinSketch(w, d)
+
+    def test_sparse_chosen_for_low_cardinality(self):
+        cms = self._cms()
+        cms.add_hashes(np.arange(13, dtype=np.int64))
+        blob = cms.to_bytes()
+        assert len(blob) < 2048  # dense body would be 512 KB
+
+    def test_dense_chosen_when_full(self):
+        cms = self._cms(w=64, d=2)
+        cms.add_hashes(np.arange(500, dtype=np.int64))
+        blob = cms.to_bytes()
+        assert len(blob) >= 64 * 2 * 8
+
+    def test_roundtrip_both_layouts(self):
+        from sparksketch.sketches import sketch_from_bytes
+        for n in (5, 2000):
+            cms = self._cms(w=256, d=3)
+            h = np.arange(n, dtype=np.int64) * 0x9E3779B97F4A7C15
+            cms.add_hashes(h)
+            rt = sketch_from_bytes(cms.to_bytes())
+            assert np.array_equal(rt.table, cms.table)
+            assert rt.to_bytes() == cms.to_bytes()
+
+    def test_mixed_layout_merge_matches_whole(self):
+        from sparksketch.sketches.base import merge_bytes
+        sparse = self._cms()
+        dense = self._cms()
+        whole = self._cms()
+        hs = np.arange(4, dtype=np.int64)          # sparse partial
+        hd = np.arange(40000, dtype=np.int64) * 7  # dense partial
+        sparse.add_hashes(hs)
+        dense.add_hashes(hd)
+        whole.add_hashes(hs)
+        whole.add_hashes(hd)
+        m1 = merge_bytes(sparse.to_bytes(), dense.to_bytes())
+        m2 = merge_bytes(dense.to_bytes(), sparse.to_bytes())
+        assert m1 == m2 == whole.to_bytes()
+
+    def test_point_queries_survive_roundtrip(self):
+        from sparksketch.sketches import sketch_from_bytes
+        cms = self._cms()
+        h = np.repeat(np.arange(13, dtype=np.int64), [i + 1 for i in range(13)])
+        cms.add_hashes(h)
+        rt = sketch_from_bytes(cms.to_bytes())
+        q = np.arange(13, dtype=np.int64)
+        assert np.array_equal(rt.query_hashes(q), cms.query_hashes(q))
+
+    def test_pre_layout_blob_rejected_loudly(self):
+        import struct as _s
+        from sparksketch.sketches import sketch_from_bytes
+        from sparksketch.sketches.base import pack_header
+        w, d = 64, 2
+        blob = (pack_header(7) + _s.pack("<QI", w, d)
+                + b"\x00" * (w * d * 8))  # old body: no layout byte
+        with pytest.raises(ValueError, match="layout byte"):
+            sketch_from_bytes(blob)
+
+
+# -- worker-side composite key hash (MixKeyBloomSpec) -------------------------
+
+class TestCombineHashes:
+    def test_identity_for_single_input(self):
+        from sparksketch.hashing import combine_hashes
+        h = np.array([1, -5, 2**62], dtype=np.int64)
+        assert np.array_equal(combine_hashes(h), h)
+
+    def test_not_commutative(self):
+        from sparksketch.hashing import combine_hashes
+        a = np.arange(100, dtype=np.int64)
+        b = np.arange(100, dtype=np.int64) * 31 + 7
+        assert not np.array_equal(combine_hashes(a, b),
+                                  combine_hashes(b, a))
+
+    def test_avalanche_on_one_bit(self):
+        from sparksketch.hashing import combine_hashes
+        a = np.zeros(64, dtype=np.int64)
+        b = (np.int64(1) << np.arange(64)).astype(np.int64)
+        out = combine_hashes(a, b)
+        assert len(np.unique(out)) == 64
+        # every output changes ~half its bits vs the all-zero input pair
+        base = combine_hashes(np.zeros(1, np.int64), np.zeros(1, np.int64))
+        flips = np.array([bin(int(np.uint64(x) ^ np.uint64(base[0]))).count("1")
+                          for x in out.view(np.uint64)])
+        assert flips.min() > 10
+
+    def test_empty_raises(self):
+        from sparksketch.hashing import combine_hashes
+        with pytest.raises(ValueError):
+            combine_hashes()
+
+
+class TestMixKeyBloomSpec:
+    def test_projection_dedups_to_three_columns(self, spark):
+        """The bench's 4-sketch build must cross exactly three columns:
+        h(conv_id) shared by HLL/KLL/bloom-part-0, h(tool) shared by
+        CMS/bloom-part-1, and the KLL value."""
+        from bench import _build_specs
+        from sparksketch.agg import build_partials_multi
+        from sparksketch.transcripts import synthesize_transcripts
+        tr = synthesize_transcripts(spark, 10_000, partitions=4)
+        specs = _build_specs(10_000)
+        exprs = []
+        seen = {}
+        for name, (spec, cols) in specs.items():
+            for bc, key, c in spec.prepare_keyed_exprs(cols,
+                                                       prefix=f"{name}__"):
+                if key not in seen:
+                    seen[key] = bc
+                    exprs.append(c)
+        assert len(exprs) == 3
+        # and the distributed build agrees with a single-threaded replay
+        from sparksketch.agg import tree_aggregate_multi
+        from sparksketch.hashing import combine_hashes
+        from sparksketch.sketches import sketch_from_bytes
+        blobs = tree_aggregate_multi(build_partials_multi(tr, specs),
+                                     list(specs))
+        got = sketch_from_bytes(blobs["bloom_conv_tool"])
+        pdf = tr.selectExpr("xxhash64(conv_id) a", "xxhash64(tool) b") \
+            .toPandas()
+        ref = specs["bloom_conv_tool"][0].empty()
+        ref.add_hashes(combine_hashes(pdf.a.to_numpy(), pdf.b.to_numpy()))
+        assert got.to_bytes() == ref.to_bytes()
+
+    def test_partitioning_invariance(self, spark):
+        from bench import _build_specs
+        from sparksketch.agg import build_partials_multi, tree_aggregate_multi
+        from sparksketch.transcripts import synthesize_transcripts
+        specs = _build_specs(20_000)
+        blobs = {}
+        for parts in (2, 7):
+            tr = synthesize_transcripts(spark, 20_000, partitions=parts)
+            blobs[parts] = tree_aggregate_multi(
+                build_partials_multi(tr, specs), list(specs))
+        # bitwise-commutative kinds are byte-identical across partitionings;
+        # KLL is canonical-but-history-dependent by contract (base.py)
+        for n in ("hll_conv", "bloom_conv_tool", "cms_tool"):
+            assert blobs[2][n] == blobs[7][n], n
+        from sparksketch.sketches import sketch_from_bytes
+        k2 = sketch_from_bytes(blobs[2]["kll_turn_idx"])
+        k7 = sketch_from_bytes(blobs[7]["kll_turn_idx"])
+        assert k2.n == k7.n == 20_000
