@@ -58,7 +58,7 @@ failure of the previous protocol — see BENCH.md):
   inside the last rep's contended window), in its own subprocess.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 4_000_000),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 16_000_000),
      SPARK_GRAFT_SCALE_LO (default 1), SPARK_GRAFT_REPS (default 5),
      SPARK_GRAFT_PARTS (default 32), SPARK_GRAFT_PASSES (default 8 max).
 """
@@ -81,9 +81,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # enough that the remaining level-independent costs (job submission,
 # the direct-result collect) are <5% of t_hi and the N->4N ratio
 # measures the engine, not the protocol
-N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "8000000"))
+# 16M turns: the build's non-scaling tail (partial ship + per-wave
+# scheduling + result fetch) is ~0.7 s per pass and FIXED in the task
+# count, not the row count (measured across 8M/12M/16M probes), so the
+# measured (1->4) ratio rises with job size — 8M measures the
+# scheduler's fixed costs as much as the engine.  Bigger is also the
+# honest regime: the north rule's 10^12-turn jobs run minute-scale
+# tasks where these fixed costs vanish entirely.
+N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "16000000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
-REPS = int(os.environ.get("SPARK_GRAFT_REPS", "7"))
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
 # fixed across the SCALING PAIR so per-task work is identical.  16 tasks
 # of ~500K turns: the (1->4) ratio's measured non-scaling tail is the
 # partial-blob result ship plus per-task turnaround (tools/xp_tail.py:
