@@ -58,9 +58,9 @@ failure of the previous protocol — see BENCH.md):
   inside the last rep's contended window), in its own subprocess.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 16_000_000),
-     SPARK_GRAFT_SCALE_LO (default 1), SPARK_GRAFT_REPS (default 5),
-     SPARK_GRAFT_PARTS (default 32), SPARK_GRAFT_PASSES (default 8 max).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 8_000_000),
+     SPARK_GRAFT_SCALE_LO (default 1), SPARK_GRAFT_REPS (default 7),
+     SPARK_GRAFT_PARTS (default 16), SPARK_GRAFT_PASSES (default 8 max).
 """
 
 from __future__ import annotations
@@ -77,20 +77,20 @@ sys.path.insert(0, HERE)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 8M turns: sized so the hi level's measured pass runs ~5 s — long
-# enough that the remaining level-independent costs (job submission,
-# the direct-result collect) are <5% of t_hi and the N->4N ratio
-# measures the engine, not the protocol
-# 16M turns: the build's non-scaling tail (partial ship + per-wave
-# scheduling + result fetch) is ~0.7 s per pass and FIXED in the task
-# count, not the row count (measured across 8M/12M/16M probes), so the
-# measured (1->4) ratio rises with job size — 8M measures the
-# scheduler's fixed costs as much as the engine.  Bigger is also the
-# honest regime: the north rule's 10^12-turn jobs run minute-scale
-# tasks where these fixed costs vanish entirely.
-N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "16000000"))
+# 8M turns: sized so the hi level's measured pass runs ~4 s — long
+# enough that the level-independent costs (job submission, the
+# direct-result collect) are <5% of t_hi, short enough that each rep
+# sees many passes inside one host-contention window.  The earlier
+# 16M rationale ("fixed tail amortizes, ratio rises with size") did
+# NOT reproduce: across the three round-5 full runs the measured
+# efficiency was 0.795 at 8M vs 0.741 at 16M, and the pinned
+# decomposition (tools/xp_decomp.py) shows why — the non-scaling term
+# is the row-wise Arrow serializer, which is PROPORTIONAL to rows, so
+# growing the job grows the non-scaling term with it and only the
+# (small) fixed tail amortizes.
+N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "8000000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
-REPS = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "7"))
 # fixed across the SCALING PAIR so per-task work is identical.  16 tasks
 # of ~500K turns: the (1->4) ratio's measured non-scaling tail is the
 # partial-blob result ship plus per-task turnaround (tools/xp_tail.py:
@@ -182,6 +182,17 @@ def _session(cores: int, arrow_batch: int = 131072):
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                     str(arrow_batch))
+            # JVM<->Python worker stream buffering (also exported to the
+            # worker as SPARK_BUFFER_SIZE).  At 64 KiB the task's Arrow
+            # writer blocks mid-batch whenever the worker is busy, so the
+            # two sides of each task's pipeline alternate instead of
+            # overlapping; 1 MiB holds 2-3 batches of run-ahead.
+            # Measured (tools/xp_hiknobs.py, pinned local[4], 16M turns):
+            # identity crossing 5.57 s -> 4.83 s (-13%%); the crossing is
+            # the build's non-scaling term (tools/xp_decomp.py: scan
+            # scales 0.90, crossing 0.47), so this feeds the (1->4)
+            # efficiency directly.
+            .config("spark.buffer.size", str(1 << 20))
             .config("spark.driver.memory", "48g")
             # each partial-sketch task result is ~1.5 MB; above the 1 MB
             # default it detours through the BlockManager (store + fetch

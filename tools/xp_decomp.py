@@ -52,16 +52,26 @@ def child(cores: int, variants: list[str]) -> None:
     specs = _build_specs(N_TURNS)
     names = list(specs)
     plan = build_partials_multi(tr, specs)
-    exprs = []
+    # the DEDUPED projection — exactly what the real build crosses (three
+    # columns at the bench specs, not the six undeduped prepare_exprs)
+    exprs, seen = [], set()
     for name, (spec, cols) in specs.items():
-        exprs.extend(spec.prepare_exprs(cols, prefix=f"{name}__"))
+        for batch_col, expr_key, c in spec.prepare_keyed_exprs(
+                cols, prefix=f"{name}__"):
+            if expr_key not in seen:
+                seen.add(expr_key)
+                exprs.append(c)
     prepared = tr.select(*exprs)
-    pcols = prepared.columns
+    pcols = prepared.schema
 
     def scan():
         # consume every prepared column JVM-side; no Python anywhere
-        prepared.select(*[F.sum(F.col(c).cast("long")).alias(c)
-                          for c in pcols]).collect()
+        # (bit_xor for longs — summing 16M xxhash64 longs overflows ANSI;
+        # plain sum for the double value column)
+        prepared.select(*[
+            (F.expr(f"bit_xor(`{f.name}`)") if f.dataType.simpleString()
+             in ("bigint", "int") else F.sum(f.name)).alias(f.name)
+            for f in pcols]).collect()
 
     def cross():
         def fn(batches):
