@@ -58,7 +58,7 @@ failure of the previous protocol — see BENCH.md):
   inside the last rep's contended window), in its own subprocess.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 8_000_000),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 32_000_000),
      SPARK_GRAFT_SCALE_LO (default 1), SPARK_GRAFT_REPS (default 7),
      SPARK_GRAFT_PARTS (default 16), SPARK_GRAFT_PASSES (default 8 max).
 """
@@ -77,18 +77,20 @@ sys.path.insert(0, HERE)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 8M turns: sized so the hi level's measured pass runs ~4 s — long
-# enough that the level-independent costs (job submission, the
-# direct-result collect) are <5% of t_hi, short enough that each rep
-# sees many passes inside one host-contention window.  The earlier
-# 16M rationale ("fixed tail amortizes, ratio rises with size") did
-# NOT reproduce: across the three round-5 full runs the measured
-# efficiency was 0.795 at 8M vs 0.741 at 16M, and the pinned
-# decomposition (tools/xp_decomp.py) shows why — the non-scaling term
-# is the row-wise Arrow serializer, which is PROPORTIONAL to rows, so
-# growing the job grows the non-scaling term with it and only the
-# (small) fixed tail amortizes.
-N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "8000000"))
+# 32M turns: sized so the hi level's measured pass runs ~5 s — long
+# enough that per-pass fixed costs and timer granularity are <5% of
+# t_hi and the FLOOR_BAR coherence filter can actually hold (at 8M the
+# pre-reduced build's hi pass fell to ~1 s, window variance exceeded
+# the 1.1x floor bar on most rounds, and the estimator had to relax
+# bars; reps even exceeded 1.0 because the lo level's single-core
+# pinning tax is a larger fraction of a short pass).  The round-5
+# mid-round "8M beats 16M" sizing was an artifact of the OLD build
+# whose non-scaling term (the row-wise Arrow serializer) grew with
+# rows; the pre-reduced build crosses no raw row, its remaining terms
+# scale, so a bigger input only amortizes fixed costs.  Measured at
+# 32M (pinned floors): t_lo 18.1 s / t_hi 4.94 s -> eff 0.916 with
+# tight reps (lo spread 1.024) and clean hw ceilings (0.975).
+N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "32000000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
 REPS = int(os.environ.get("SPARK_GRAFT_REPS", "7"))
 # fixed across the SCALING PAIR so per-task work is identical.  16 tasks

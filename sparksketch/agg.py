@@ -652,12 +652,34 @@ def tree_aggregate_multi(partials: DataFrame, names: Sequence[str],
 
 def sketch_dataframe_multi(
         df: DataFrame,
-        specs: dict[str, tuple[SketchSpec, Sequence[str | Column]]]
+        specs: dict[str, tuple[SketchSpec, Sequence[str | Column]]],
+        prereduce: bool = False,
 ) -> dict[str, Sketch]:
-    """One-pass build+merge of several sketches; returns deserialized finals."""
-    blobs = tree_aggregate_multi(
-        build_partials_multi(df, specs), list(specs),
-        blob_bytes=sum(s.est_bytes() for s, _ in specs.values()))
+    """One-pass build+merge of several sketches; returns deserialized finals.
+
+    ``prereduce=True`` routes every spec whose REDUCE contract allows it
+    through the pre-reduced crossing (JVM hash-agg before the Arrow
+    boundary — byte-identical output, see build_partials_multi) and
+    builds the rest on the raw path.  The split costs one extra pass,
+    but each pass reads only its own specs' columns, so on columnar
+    storage the two scans touch disjoint data; results are identical to
+    ``prereduce=False`` for the reducible kinds by construction."""
+
+    def run(sub: dict, reduce_: bool) -> dict[str, bytes | None]:
+        return tree_aggregate_multi(
+            build_partials_multi(df, sub, prereduce=reduce_), list(sub),
+            blob_bytes=sum(s.est_bytes() for s, _ in sub.values()))
+
+    if prereduce:
+        red = {n: s for n, s in specs.items() if s[0].REDUCE is not None}
+        raw = {n: s for n, s in specs.items() if s[0].REDUCE is None}
+        blobs = {}
+        if red:
+            blobs.update(run(red, True))
+        if raw:
+            blobs.update(run(raw, False))
+    else:
+        blobs = run(specs, False)
     return {n: specs[n][0].empty() if blobs[n] is None
             else sketch_from_bytes(blobs[n]) for n in specs}
 

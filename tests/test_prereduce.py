@@ -105,6 +105,20 @@ def test_kll_crossing_prunes_unused_hash(spark, skewed):
     assert abs(kll.quantile(0.5) - 48.0) <= 3.0  # v = id % 97
 
 
+def test_sketch_dataframe_multi_auto_split(spark, skewed):
+    """prereduce=True routes reducible specs through the reduced crossing
+    and value sketches through the raw path — results identical to the
+    all-raw build for every kind."""
+    from sparksketch.agg import sketch_dataframe_multi
+    specs = dict(_specs())
+    specs["kll"] = (KLLSpec(k=256, col="v"), ["k"])
+    a = sketch_dataframe_multi(skewed, specs)
+    b = sketch_dataframe_multi(skewed, specs, prereduce=True)
+    for n in ("bloom", "mix", "hll", "cms", "minhash"):
+        assert a[n].to_bytes() == b[n].to_bytes(), n
+    assert b["kll"].n == skewed.count()
+
+
 def test_salted_grouped_no_longer_needs_h1(spark, skewed):
     """The salt expression derives from xxhash64(*cols) — salting now works
     for specs that don't emit an 'h1' batch column (KLL, MixKey) and stays
