@@ -1,0 +1,488 @@
+"""H.264 baseline INTRA codec — pure NumPy/Python, the media tier's real
+frame-decode layer.
+
+What this is (precisely): a conformant SUBSET of ITU-T H.264 / ISO 14496-10
+baseline profile — IDR pictures, one I slice per picture, CAVLC entropy
+mode, 4:2:0 8-bit, frame_mbs_only, macroblock types **I_PCM** and
+**Intra_16x16 with zero coded residual** (CodedBlockPatternLuma =
+CodedBlockPatternChroma = 0), loop filter disabled via the slice header
+(disable_deblocking_filter_idc = 1, so a PPS with
+deblocking_filter_control_present is required — mp4.encode_pps(True)).
+
+The ENCODER makes a real per-macroblock rate-distortion choice: the best
+available Intra_16x16 luma prediction (Vertical / Horizontal / DC / Plane,
+spec 8.3.3) plus the best chroma 8x8 prediction (DC / Horizontal /
+Vertical / Plane, spec 8.3.4) when prediction approximates the source
+within ``pcm_mad`` mean-absolute-difference per sample, else lossless
+I_PCM.  Prediction runs off the RECONSTRUCTED neighbor samples, exactly as
+a decoder sees them, so the decoder's output is bit-identical to the
+encoder's own reconstruction (tested in tests/test_h264.py).
+
+The DECODER accepts any stream inside the subset — including the CAVLC
+coeff_token context machinery it needs for the always-present
+Intra16x16DCLevel block (nC from neighboring 4x4 totals, with I_PCM
+neighbors counting 16 per spec 9.2.1, and all four coeff_token table
+columns' TotalCoeff==0 codewords incl. the nC>=8 six-bit FLC).  Anything
+OUTSIDE the subset raises NotImplementedError naming the feature: the
+remaining seam is coefficient-level residual decode (the full CAVLC
+Tables 9-5..9-10), Intra_4x4 / inter prediction, CABAC, and the loop
+filter.  That seam is now *inside* the entropy-coded slice layer rather
+than in front of it — slice headers, macroblock headers, PCM payloads and
+predicted macroblocks all decode for real.
+
+Why a per-macroblock Python loop is acceptable here: fixture media frames
+are tiny (a few dozen macroblocks) and the codec runs INSIDE mapInPandas —
+the distributed plumbing around it (schema, partitioning, batch shape) is
+the 100 TB-relevant part, per the LLM-pipeline brief.  The reference repo
+(Claudenw/BloomFilters) has no media scope; this module belongs to the
+pipeline tier, like jpeg.py / png.py.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .mp4 import _BitReader, _BitWriter, _unescape_rbsp, parse_avcc, \
+    parse_pps, parse_sps
+
+__all__ = ["encode_iframe", "decode_iframe", "avc_sample",
+           "decode_avc_sample", "rgb_to_yuv420", "yuv420_to_rgb"]
+
+# luma Intra_16x16 prediction modes (spec 8.3.3)
+_L_V, _L_H, _L_DC, _L_PLANE = 0, 1, 2, 3
+# chroma prediction modes (spec 8.3.4) — NOTE the different numbering
+_C_DC, _C_H, _C_V, _C_PLANE = 0, 1, 2, 3
+
+
+# ---------------------------------------------------------------------------
+# color / 4:2:0 (BT.601 full-range, same matrix as jpeg.py's JFIF path)
+# ---------------------------------------------------------------------------
+
+def rgb_to_yuv420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """(h, w, 3) uint8 RGB -> (Y, Cb, Cr) uint8 planes, chroma 2x2-mean
+    subsampled.  h and w must be even (4:2:0 chroma grid == SPS crop
+    units)."""
+    h, w = rgb.shape[:2]
+    if h % 2 or w % 2:
+        raise ValueError(f"4:2:0 needs even dims, got {w}x{h}")
+    p = rgb.astype(np.float64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    sub = (lambda c: (c[0::2, 0::2] + c[1::2, 0::2]
+                      + c[0::2, 1::2] + c[1::2, 1::2]) / 4.0)
+    to8 = (lambda c: np.clip(np.round(c), 0, 255).astype(np.uint8))
+    return to8(y), to8(sub(cb)), to8(sub(cr))
+
+
+def yuv420_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray) \
+        -> np.ndarray:
+    """Inverse of rgb_to_yuv420 (nearest chroma upsample)."""
+    y = Y.astype(np.float64)
+    cb = np.repeat(np.repeat(Cb.astype(np.float64), 2, 0), 2, 1)
+    cb = cb[:y.shape[0], :y.shape[1]] - 128.0
+    cr = np.repeat(np.repeat(Cr.astype(np.float64), 2, 0), 2, 1)
+    cr = cr[:y.shape[0], :y.shape[1]] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (spec 8.3.3 / 8.3.4) — shared verbatim by encoder and
+# decoder; all inputs are RECONSTRUCTED planes, so both sides agree
+# bit-for-bit
+# ---------------------------------------------------------------------------
+
+def _pred_luma16(rec: np.ndarray, x0: int, y0: int) -> dict[int, np.ndarray]:
+    """Available Intra_16x16 predictions for the MB at luma sample
+    (x0, y0).  Returns {mode: (16,16) uint8}."""
+    up = y0 > 0
+    left = x0 > 0
+    out: dict[int, np.ndarray] = {}
+    prow = rec[y0 - 1, x0:x0 + 16].astype(np.int64) if up else None
+    pcol = rec[y0:y0 + 16, x0 - 1].astype(np.int64) if left else None
+    if up:
+        out[_L_V] = np.broadcast_to(prow, (16, 16)).astype(np.uint8)
+    if left:
+        out[_L_H] = np.broadcast_to(pcol[:, None], (16, 16)).astype(np.uint8)
+    # DC (8.3.3.3): always available with fallbacks
+    if up and left:
+        dc = (int(prow.sum()) + int(pcol.sum()) + 16) >> 5
+    elif up:
+        dc = (int(prow.sum()) + 8) >> 4
+    elif left:
+        dc = (int(pcol.sum()) + 8) >> 4
+    else:
+        dc = 128
+    out[_L_DC] = np.full((16, 16), dc, dtype=np.uint8)
+    # Plane (8.3.3.4): needs up, left AND the up-left corner
+    if up and left:
+        corner = int(rec[y0 - 1, x0 - 1])
+        uprow = np.concatenate(([corner], prow))     # p[x, -1], x=-1..15
+        leftcol = np.concatenate(([corner], pcol))   # p[-1, y], y=-1..15
+        hh = sum((xp + 1) * (int(uprow[9 + xp]) - int(uprow[7 - xp]))
+                 for xp in range(8))
+        vv = sum((yp + 1) * (int(leftcol[9 + yp]) - int(leftcol[7 - yp]))
+                 for yp in range(8))
+        a = 16 * (int(leftcol[16]) + int(uprow[16]))
+        b = (5 * hh + 32) >> 6
+        c = (5 * vv + 32) >> 6
+        xs = np.arange(16)
+        plane = (a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16) >> 5
+        out[_L_PLANE] = np.clip(plane, 0, 255).astype(np.uint8)
+    return out
+
+
+def _pred_chroma8(rec: np.ndarray, x0: int, y0: int) \
+        -> dict[int, np.ndarray]:
+    """Available chroma 8x8 predictions at chroma sample (x0, y0).
+    Returns {mode: (8,8) uint8}."""
+    up = y0 > 0
+    left = x0 > 0
+    out: dict[int, np.ndarray] = {}
+    prow = rec[y0 - 1, x0:x0 + 8].astype(np.int64) if up else None
+    pcol = rec[y0:y0 + 8, x0 - 1].astype(np.int64) if left else None
+    # DC (8.3.4.1): per 4x4 sub-block with positional preferences
+    dcp = np.empty((8, 8), dtype=np.uint8)
+    for by in (0, 4):
+        for bx in (0, 4):
+            u4 = int(prow[bx:bx + 4].sum()) if up else None
+            l4 = int(pcol[by:by + 4].sum()) if left else None
+            if bx == by:  # corner blocks (0,0)/(4,4): both if available
+                if up and left:
+                    v = (u4 + l4 + 4) >> 3
+                elif up:
+                    v = (u4 + 2) >> 2
+                elif left:
+                    v = (l4 + 2) >> 2
+                else:
+                    v = 128
+            elif bx == 4:  # (4,0): prefers up
+                v = (u4 + 2) >> 2 if up else \
+                    ((l4 + 2) >> 2 if left else 128)
+            else:  # (0,4): prefers left
+                v = (l4 + 2) >> 2 if left else \
+                    ((u4 + 2) >> 2 if up else 128)
+            dcp[by:by + 4, bx:bx + 4] = v
+    out[_C_DC] = dcp
+    if left:
+        out[_C_H] = np.broadcast_to(pcol[:, None], (8, 8)).astype(np.uint8)
+    if up:
+        out[_C_V] = np.broadcast_to(prow, (8, 8)).astype(np.uint8)
+    if up and left:  # Plane (8.3.4.4, 4:2:0)
+        corner = int(rec[y0 - 1, x0 - 1])
+        uprow = np.concatenate(([corner], prow))
+        leftcol = np.concatenate(([corner], pcol))
+        hh = sum((xp + 1) * (int(uprow[5 + xp]) - int(uprow[3 - xp]))
+                 for xp in range(4))
+        vv = sum((yp + 1) * (int(leftcol[5 + yp]) - int(leftcol[3 - yp]))
+                 for yp in range(4))
+        a = 16 * (int(leftcol[8]) + int(uprow[8]))
+        b = (34 * hh + 32) >> 6
+        c = (34 * vv + 32) >> 6
+        xs = np.arange(8)
+        plane = (a + b * (xs[None, :] - 3) + c * (xs[:, None] - 3) + 16) >> 5
+        out[_C_PLANE] = np.clip(plane, 0, 255).astype(np.uint8)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CAVLC coeff_token, TotalCoeff == 0 entries (spec 9.2.1, Table 9-5).
+# The DC luma block of every Intra_16x16 MB is entropy-coded even when
+# empty, and its table column depends on the neighbor context nC — with
+# I_PCM neighbors counting as 16 coefficients, all four columns occur.
+# ---------------------------------------------------------------------------
+
+def _nc(pcm: np.ndarray, mbx: int, mby: int) -> int:
+    """nC for the Intra16x16DCLevel block (derived as for 4x4 luma block
+    0): neighbor totals are 0 for our zero-residual MBs, 16 for I_PCM
+    MBs (spec 9.2.1)."""
+    a_avail, b_avail = mbx > 0, mby > 0
+    na = 16 if a_avail and pcm[mby, mbx - 1] else 0
+    nb = 16 if b_avail and pcm[mby - 1, mbx] else 0
+    if a_avail and b_avail:
+        return (na + nb + 1) >> 1
+    if a_avail:
+        return na
+    if b_avail:
+        return nb
+    return 0
+
+
+def _write_coeff_token_zero(w: _BitWriter, nc: int) -> None:
+    """coeff_token for TrailingOnes=0, TotalCoeff=0 (Table 9-5)."""
+    if nc < 2:
+        w.u(0b1, 1)
+    elif nc < 4:
+        w.u(0b11, 2)
+    elif nc < 8:
+        w.u(0b1111, 4)
+    else:
+        w.u(0b000011, 6)
+
+
+def _read_coeff_token_zero(r: _BitReader, nc: int) -> None:
+    """Read a coeff_token and require TotalCoeff == 0.  The TotalCoeff==0
+    codewords ('1' / '11' / '1111' / FLC 000011) are uniquely decodable
+    against the rest of each Table 9-5 column, so a nonzero count is
+    detected without the full table — and is exactly the documented
+    remaining seam."""
+    if nc >= 8:  # 6-bit FLC: 4*(TotalCoeff-1)+TrailingOnes; 3 <=> (0,0)
+        if r.u(6) != 0b000011:
+            raise NotImplementedError(
+                "coefficient-level CAVLC decode (TotalCoeff > 0) is the "
+                "documented seam")
+        return
+    need = 1 if nc < 2 else (2 if nc < 4 else 4)
+    for _ in range(need):
+        if r.u(1) != 1:
+            raise NotImplementedError(
+                "coefficient-level CAVLC decode (TotalCoeff > 0) is the "
+                "documented seam")
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _pad_mb(plane: np.ndarray, mb: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, -h % mb), (0, -w % mb)), mode="edge")
+
+
+def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
+                  qp: int = 26) -> bytes:
+    """Encode one RGB frame as an IDR slice NAL (header byte 0x65
+    included; wrap with ``avc_sample`` for MP4 mdat).
+
+    Per MB: best available Intra_16x16 + chroma prediction if its luma
+    AND chroma mean-abs-diff stay within ``pcm_mad``, else I_PCM.
+    ``pcm_mad=0`` is lossless (I_PCM except exactly-predicted MBs);
+    a negative value forces I_PCM everywhere.  The slice
+    header matches mp4.encode_sps/encode_pps(deblocking_control=True)
+    fixed choices (log2_max_frame_num=8, poc_type=0, poc lsb bits=8,
+    pic_init_qp=26)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_iframe expects (h, w, 3) RGB")
+    Y, Cb, Cr = rgb_to_yuv420(rgb)
+    Y, Cb, Cr = _pad_mb(Y, 16), _pad_mb(Cb, 8), _pad_mb(Cr, 8)
+    mbs_h, mbs_w = Y.shape[0] // 16, Y.shape[1] // 16
+    recY = np.zeros_like(Y)
+    recCb = np.zeros_like(Cb)
+    recCr = np.zeros_like(Cr)
+    pcm = np.zeros((mbs_h, mbs_w), dtype=bool)
+
+    w = _BitWriter()
+    w.ue(0)            # first_mb_in_slice
+    w.ue(7)            # slice_type: I (all slices of the picture)
+    w.ue(0)            # pic_parameter_set_id
+    w.u(0, 8)          # frame_num (log2_max_frame_num = 8)
+    w.ue(0)            # idr_pic_id
+    w.u(0, 8)          # pic_order_cnt_lsb (log2_max_poc_lsb = 8)
+    w.u(0, 1)          # no_output_of_prior_pics_flag
+    w.u(0, 1)          # long_term_reference_flag
+    w.se(qp - 26)      # slice_qp_delta (pic_init_qp = 26)
+    w.ue(1)            # disable_deblocking_filter_idc = 1 (filter OFF)
+
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            yx, yy = mbx * 16, mby * 16
+            cx, cy = mbx * 8, mby * 8
+            oY = Y[yy:yy + 16, yx:yx + 16]
+            oCb = Cb[cy:cy + 8, cx:cx + 8]
+            oCr = Cr[cy:cy + 8, cx:cx + 8]
+            lp = _pred_luma16(recY, yx, yy)
+            lmode, lpred, lmad = min(
+                ((m, p, float(np.abs(oY.astype(np.int64)
+                                     - p.astype(np.int64)).mean()))
+                 for m, p in lp.items()), key=lambda t: (t[2], t[0]))
+            cpb = _pred_chroma8(recCb, cx, cy)
+            cpr = _pred_chroma8(recCr, cx, cy)
+            cmode, cmad = min(
+                ((m, (float(np.abs(oCb.astype(np.int64)
+                                   - cpb[m].astype(np.int64)).mean())
+                      + float(np.abs(oCr.astype(np.int64)
+                                     - cpr[m].astype(np.int64)).mean()))
+                  / 2.0) for m in cpb), key=lambda t: (t[1], t[0]))
+            if max(lmad, cmad) <= pcm_mad:
+                # Intra_16x16, cbp_luma=0, cbp_chroma=0 (Table 7-11)
+                w.ue(1 + lmode)          # mb_type 1..4
+                w.ue(cmode)              # intra_chroma_pred_mode
+                w.se(0)                  # mb_qp_delta
+                _write_coeff_token_zero(w, _nc(pcm, mbx, mby))
+                recY[yy:yy + 16, yx:yx + 16] = lpred
+                recCb[cy:cy + 8, cx:cx + 8] = cpb[cmode]
+                recCr[cy:cy + 8, cx:cx + 8] = cpr[cmode]
+            else:
+                w.ue(25)                 # I_PCM
+                w.align()                # pcm_alignment_zero_bit
+                w.bytes_(oY.tobytes())
+                w.bytes_(oCb.tobytes())
+                w.bytes_(oCr.tobytes())
+                pcm[mby, mbx] = True
+                recY[yy:yy + 16, yx:yx + 16] = oY
+                recCb[cy:cy + 8, cx:cx + 8] = oCb
+                recCr[cy:cy + 8, cx:cx + 8] = oCr
+    # rbsp() appends the stop bit (rbsp_slice_trailing_bits) and applies
+    # emulation prevention over the whole slice — headers AND PCM bytes
+    return bytes([0x65]) + w.rbsp()
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
+    """Decode one IDR/I slice NAL (subset above) to (h, w, 3) RGB.
+
+    ``sps``/``pps`` are parse_sps/parse_pps dicts.  Features outside the
+    subset raise NotImplementedError naming the feature; corrupt streams
+    raise ValueError."""
+    if not nal:
+        raise ValueError("empty NAL")
+    nal_type = nal[0] & 0x1F
+    if nal_type not in (1, 5):
+        raise ValueError(f"not a coded slice NAL (type {nal_type})")
+    if pps.get("entropy_coding_mode"):
+        raise NotImplementedError("CABAC entropy coding unsupported")
+    r = _BitReader(_unescape_rbsp(nal[1:]))
+    if r.ue() != 0:
+        raise NotImplementedError("multi-slice pictures unsupported")
+    slice_type = r.ue()
+    if slice_type % 5 != 2:  # 2/7 = I
+        raise NotImplementedError(
+            f"only I slices supported (slice_type {slice_type})")
+    r.ue()  # pic_parameter_set_id
+    r.u(sps["log2_max_frame_num"])  # frame_num
+    if not sps.get("frame_mbs_only", 1):
+        raise NotImplementedError("interlaced (field) coding unsupported")
+    idr = nal_type == 5
+    if idr:
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        r.u(sps["log2_max_poc_lsb"])
+        if pps.get("bottom_field_poc_present"):
+            r.se()
+    if pps.get("redundant_pic_cnt_present"):
+        r.ue()
+    nal_ref_idc = (nal[0] >> 5) & 3
+    if nal_ref_idc:  # dec_ref_pic_marking
+        if idr:
+            r.u(1)  # no_output_of_prior_pics_flag
+            r.u(1)  # long_term_reference_flag
+        else:
+            if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+                raise NotImplementedError(
+                    "adaptive ref pic marking unsupported")
+    r.se()  # slice_qp_delta (no residual -> value unused)
+    if pps.get("deblocking_filter_control_present"):
+        if r.ue() != 1:
+            raise NotImplementedError(
+                "deblocking (loop) filter unsupported — encode with "
+                "disable_deblocking_filter_idc=1")
+        # idc == 1: no alpha/beta offsets follow
+    else:
+        raise NotImplementedError(
+            "deblocking (loop) filter unsupported — stream's PPS cannot "
+            "switch it off")
+
+    mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+    recY = np.zeros((mbs_h * 16, mbs_w * 16), dtype=np.uint8)
+    recCb = np.zeros((mbs_h * 8, mbs_w * 8), dtype=np.uint8)
+    recCr = np.zeros((mbs_h * 8, mbs_w * 8), dtype=np.uint8)
+    pcm = np.zeros((mbs_h, mbs_w), dtype=bool)
+    for addr in range(mbs_w * mbs_h):
+        mby, mbx = divmod(addr, mbs_w)
+        yx, yy = mbx * 16, mby * 16
+        cx, cy = mbx * 8, mby * 8
+        mb_type = r.ue()
+        if mb_type == 25:  # I_PCM
+            r.align()
+            recY[yy:yy + 16, yx:yx + 16] = np.frombuffer(
+                r.read_bytes(256), dtype=np.uint8).reshape(16, 16)
+            recCb[cy:cy + 8, cx:cx + 8] = np.frombuffer(
+                r.read_bytes(64), dtype=np.uint8).reshape(8, 8)
+            recCr[cy:cy + 8, cx:cx + 8] = np.frombuffer(
+                r.read_bytes(64), dtype=np.uint8).reshape(8, 8)
+            pcm[mby, mbx] = True
+            continue
+        if mb_type == 0:
+            raise NotImplementedError("Intra_4x4 prediction is the "
+                                      "documented seam")
+        if not 1 <= mb_type <= 24:
+            raise ValueError(f"invalid I-slice mb_type {mb_type}")
+        # Table 7-11: mb_type-1 -> (pred_mode, cbp_chroma, cbp_luma)
+        pm = (mb_type - 1) % 4
+        cbp_chroma = ((mb_type - 1) // 4) % 3
+        cbp_luma = 15 if mb_type >= 13 else 0
+        if cbp_chroma or cbp_luma:
+            raise NotImplementedError(
+                "coded residual (cbp != 0) is the documented seam")
+        cmode = r.ue()  # intra_chroma_pred_mode
+        if cmode > 3:
+            raise ValueError(f"invalid intra_chroma_pred_mode {cmode}")
+        r.se()  # mb_qp_delta
+        _read_coeff_token_zero(r, _nc(pcm, mbx, mby))
+        lp = _pred_luma16(recY, yx, yy)
+        if pm not in lp:
+            raise ValueError(
+                f"Intra_16x16 mode {pm} needs unavailable neighbors at "
+                f"mb ({mbx},{mby})")
+        cpb = _pred_chroma8(recCb, cx, cy)
+        cpr = _pred_chroma8(recCr, cx, cy)
+        if cmode not in cpb:
+            raise ValueError(
+                f"chroma mode {cmode} needs unavailable neighbors at "
+                f"mb ({mbx},{mby})")
+        recY[yy:yy + 16, yx:yx + 16] = lp[pm]
+        recCb[cy:cy + 8, cx:cx + 8] = cpb[cmode]
+        recCr[cy:cy + 8, cx:cx + 8] = cpr[cmode]
+    h, w = sps["height"], sps["width"]
+    crop_l, _, crop_t, _ = sps.get("crop", (0, 0, 0, 0))
+    x0, y0 = 2 * crop_l, 2 * crop_t  # 4:2:0 crop units -> luma samples
+    return yuv420_to_rgb(recY[y0:y0 + h, x0:x0 + w],
+                         recCb[y0 // 2:(y0 + h) // 2,
+                               x0 // 2:(x0 + w) // 2],
+                         recCr[y0 // 2:(y0 + h) // 2,
+                               x0 // 2:(x0 + w) // 2])
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample glue (ISO 14496-15 length-prefixed NALs)
+# ---------------------------------------------------------------------------
+
+def avc_sample(nals: list[bytes], nal_length_size: int = 4) -> bytes:
+    """Wrap NAL units as one MP4 sample (length-prefixed, 14496-15)."""
+    if nal_length_size != 4:
+        raise ValueError("only 4-byte NAL length prefixes emitted")
+    return b"".join(struct.pack(">I", len(n)) + n for n in nals)
+
+
+def decode_avc_sample(sample: bytes, avcc: bytes | dict) -> np.ndarray:
+    """Decode an MP4 avc1 sample (length-prefixed NALs) to RGB using the
+    track's avcC configuration (raw box payload bytes or a parse_avcc
+    dict)."""
+    cfg = parse_avcc(avcc) if isinstance(avcc, (bytes, bytearray)) \
+        else avcc
+    if not cfg["sps"] or not cfg["pps"]:
+        raise ValueError("avcC carries no SPS/PPS")
+    sps = parse_sps(cfg["sps"][0])
+    pps = parse_pps(cfg["pps"][0])
+    nls = cfg["nal_length_size"]
+    pos = 0
+    while pos + nls <= len(sample):
+        ln = int.from_bytes(sample[pos:pos + nls], "big")
+        pos += nls
+        if pos + ln > len(sample):
+            raise ValueError("truncated NAL in sample")
+        nal = sample[pos:pos + ln]
+        pos += ln
+        if nal and (nal[0] & 0x1F) in (1, 5):
+            return decode_iframe(nal, sps, pps)
+    raise ValueError("sample contains no coded slice NAL")

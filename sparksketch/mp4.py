@@ -118,6 +118,23 @@ class _BitReader:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
 
+    def align(self) -> None:
+        """Consume bits to the next byte boundary (spec: alignment bits
+        must be zero, e.g. pcm_alignment_zero_bit)."""
+        while self.pos & 7:
+            if self.u(1):
+                raise ValueError("non-zero alignment bit")
+
+    def read_bytes(self, n: int) -> bytes:
+        """Byte-aligned bulk read (I_PCM sample payloads)."""
+        if self.pos & 7:
+            raise ValueError("read_bytes requires byte alignment")
+        byte = self.pos >> 3
+        if byte + n > len(self.data):
+            raise ValueError("bitstream truncated")
+        self.pos += 8 * n
+        return self.data[byte:byte + n]
+
 
 class _BitWriter:
     """MSB-first bit writer with exp-Golomb encode + RBSP stop bit —
@@ -135,6 +152,23 @@ class _BitWriter:
         code = v + 1
         n = code.bit_length()
         return self.u(0, n - 1).u(code, n)
+
+    def se(self, v: int) -> "_BitWriter":
+        """Signed exp-Golomb (spec 9.1.1): v>0 -> 2v-1, v<=0 -> -2v."""
+        return self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align(self) -> "_BitWriter":
+        while len(self.bits) & 7:
+            self.bits.append(0)
+        return self
+
+    def bytes_(self, data: bytes) -> "_BitWriter":
+        """Byte-aligned bulk write (I_PCM sample payloads)."""
+        if len(self.bits) & 7:
+            raise ValueError("bytes_ requires byte alignment")
+        for b in data:
+            self.u(b, 8)
+        return self
 
     def rbsp(self) -> bytes:
         """Close the RBSP (stop bit + byte alignment) and apply
@@ -202,10 +236,11 @@ def parse_sps(nal: bytes) -> dict:
         r.u(1)  # qpprime_y_zero_transform_bypass_flag
         if r.u(1):  # seq_scaling_matrix_present
             raise ValueError("scaling matrices unsupported in this parser")
-    r.ue()  # log2_max_frame_num_minus4
+    log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 0
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
         r.u(1)
         r.se()
@@ -253,7 +288,14 @@ def parse_sps(nal: bytes) -> dict:
                 fps = time_scale / (2.0 * num_units)
     return {"profile_idc": profile_idc, "level_idc": level_idc,
             "width": width, "height": height, "fps": fps,
-            "chroma_format_idc": chroma_format_idc}
+            "chroma_format_idc": chroma_format_idc,
+            # slice-header bookkeeping (consumed by sparksketch.h264):
+            "log2_max_frame_num": log2_max_frame_num,
+            "poc_type": poc_type, "log2_max_poc_lsb": log2_max_poc_lsb,
+            "mbs_w": pic_width_mbs,
+            "mbs_h": (2 - frame_mbs_only) * pic_height_units,
+            "frame_mbs_only": frame_mbs_only,
+            "crop": (crop_l, crop_r, crop_t, crop_b)}
 
 
 def encode_sps(width: int, height: int, profile_idc: int = 66,
@@ -313,8 +355,13 @@ def encode_sps(width: int, height: int, profile_idc: int = 66,
     return bytes([0x67]) + w.rbsp()
 
 
-def encode_pps() -> bytes:
-    """Minimal conformant PPS NAL (CAVLC, one slice group)."""
+def encode_pps(deblocking_control: bool = False) -> bytes:
+    """Minimal conformant PPS NAL (CAVLC, one slice group).
+
+    ``deblocking_control=True`` sets deblocking_filter_control_present so
+    a slice header can legitimately switch the loop filter OFF
+    (disable_deblocking_filter_idc=1) — required by sparksketch.h264,
+    whose decoder implements no deblocking."""
     w = _BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -325,13 +372,41 @@ def encode_pps() -> bytes:
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
     w.u(0, 1)  # weighted_pred_flag
     w.u(0, 2)  # weighted_bipred_idc
-    w.ue(0)  # pic_init_qp_minus26 (se: 0 encodes the same)
-    w.ue(0)  # pic_init_qs_minus26
-    w.ue(0)  # chroma_qp_index_offset
-    w.u(0, 1)  # deblocking_filter_control_present
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(1 if deblocking_control else 0, 1)  # deblocking_filter_control
     w.u(0, 1)  # constrained_intra_pred
     w.u(0, 1)  # redundant_pic_cnt_present
     return bytes([0x68]) + w.rbsp()
+
+
+def parse_pps(nal: bytes) -> dict:
+    """Decode an H.264 picture parameter set NAL (spec 7.3.2.2) through
+    the fields the intra decode path needs; more_rbsp_data extensions
+    (transform_8x8, scaling lists) are not consumed — slice decode never
+    reads past redundant_pic_cnt_present for baseline streams."""
+    if not nal:
+        raise ValueError("empty PPS")
+    body = nal[1:] if (nal[0] & 0x1F) == 8 else nal
+    r = _BitReader(_unescape_rbsp(body))
+    out = {"pps_id": r.ue(), "sps_id": r.ue(),
+           "entropy_coding_mode": r.u(1),
+           "bottom_field_poc_present": r.u(1),
+           "num_slice_groups": r.ue() + 1}
+    if out["num_slice_groups"] != 1:
+        raise NotImplementedError("slice groups (FMO) unsupported")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred_flag
+    r.u(2)  # weighted_bipred_idc
+    out["pic_init_qp"] = 26 + r.se()
+    r.se()  # pic_init_qs_minus26
+    out["chroma_qp_index_offset"] = r.se()
+    out["deblocking_filter_control_present"] = r.u(1)
+    out["constrained_intra_pred"] = r.u(1)
+    out["redundant_pic_cnt_present"] = r.u(1)
+    return out
 
 
 def build_avcc(sps: bytes, pps: bytes) -> bytes:
@@ -394,6 +469,8 @@ def _parse_stbl(data: bytes, pos: int, end: int) -> dict:
                     for k2, b2, e2 in _boxes(data, ext, ext_end):
                         if k2 == b"avcC":
                             cfg = parse_avcc(data[b2:e2])
+                            out["avcc"] = cfg  # parsed SPS/PPS NAL bytes
+                            out["avcc_raw"] = bytes(data[b2:e2])
                             if cfg["sps"]:
                                 out["sps"] = parse_sps(cfg["sps"][0])
                                 out["nal_length_size"] = \
@@ -588,7 +665,8 @@ def build_mp4(frames: list[bytes], width: int, height: int,
               fps: float = 10.0,
               declared_wh: tuple[int, int] | None = None,
               profile_idc: int = 66, level_idc: int = 30,
-              sync_every: int = 2) -> bytes:
+              sync_every: int = 2,
+              deblocking_control: bool = False) -> bytes:
     """Write a one-track avc1 MP4: ``frames`` bytes packed into one mdat
     chunk, sample tables covering them, and an avcC whose SPS declares
     the TRUE ``width x height`` and ``fps``.
@@ -601,7 +679,7 @@ def build_mp4(frames: list[bytes], width: int, height: int,
         raise ValueError("build_mp4 needs at least one frame")
     sps = encode_sps(width, height, profile_idc=profile_idc,
                      level_idc=level_idc, fps=fps)
-    pps = encode_pps()
+    pps = encode_pps(deblocking_control=deblocking_control)
     decl_w, decl_h = declared_wh if declared_wh is not None else \
         (-(-width // 16) * 16, -(-height // 16) * 16)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
