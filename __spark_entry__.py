@@ -1330,18 +1330,32 @@ def q_multimodal_video_sps_dims(spark, sf_dir):
 
 
 def q_multimodal_video_frame_means(spark, sf_dir):
-    """REAL video pipeline end-to-end (closes the round-2 video-stub
-    gap): synthesize_media emits genuine RIFF/AVI MJPEG payloads;
-    sample_video_frames walks the container and returns each sampled
-    frame's baseline-JPEG bytes; this query then decodes every sampled
-    frame and bound-checks its channel means against the analytic
-    per-frame gradient (base = media_id%16 + frame*8; channel mean =
-    base + 22.5 + 40c on the 16x16 canvas).  Frame indices/timestamps
-    (every 200 ms of a 5-frame 10 fps clip -> frames 0, 2, 4) are exact
-    oracle values."""
+    """REAL video pipelines end-to-end, BOTH codec tiers in one tagged
+    result (registry stays within the driver's 50-row record):
+
+    - codec='mjpeg' (closes the round-2 video-stub gap):
+      synthesize_media emits genuine RIFF/AVI MJPEG payloads;
+      sample_video_frames walks the container and returns each sampled
+      frame's baseline-JPEG bytes, decoded here with the pure-NumPy JFIF
+      decoder.  Channel means vs the analytic per-frame gradient
+      (base = media_id%16 + frame*8; mean = base + 22.5 + 40c on the
+      16x16 canvas) are bound-checked; frame indices/timestamps (every
+      200 ms of a 5-frame 10 fps clip -> frames 0, 2, 4) are exact.
+    - codec='h264' (round 5, closes the bitstream-decode seam for the
+      baseline-intra subset): genuine avc1 MP4 clips whose samples are
+      IDR slices from sparksketch/h264.py; the query walks the moov
+      sample tables AND decodes each sampled frame's H.264 bitstream —
+      slice header, I_PCM + predicted Intra_16x16 macroblocks, SPS frame
+      cropping (44x28 non-MB-aligned canvas) — then bound-checks channel
+      means against the analytic ramp.  ``compressed`` additionally
+      asserts the PREDICTED path engaged (stream smaller than its
+      forced-all-PCM encoding), so a PCM-only 'decoder' fails the check.
+    """
     from typing import Iterator as _It
     import pandas as _pd
-    from sparksketch.multimodal import sample_video_frames, synthesize_media
+    from sparksketch.multimodal import (h264_frame_features,
+                                        sample_video_frames,
+                                        synthesize_media)
     media = synthesize_media(spark, n=64)
     frames = sample_video_frames(media, every_ms=200)
 
@@ -1359,10 +1373,17 @@ def q_multimodal_video_frame_means(spark, sf_dir):
             yield _pd.DataFrame(rows, columns=["media_id", "frame_idx",
                                                "ts_ms", "means_ok"])
 
-    return (frames.mapInPandas(
-                fn, schema="media_id long, frame_idx int, ts_ms int, "
-                           "means_ok boolean")
-            .orderBy("media_id", "frame_idx"))
+    mjpeg = (frames.mapInPandas(
+                 fn, schema="media_id long, frame_idx int, ts_ms int, "
+                            "means_ok boolean")
+             .select("media_id", F.lit("mjpeg").alias("codec"),
+                     "frame_idx", "ts_ms", "means_ok",
+                     F.lit(True).alias("compressed")))
+    h264 = (h264_frame_features(spark, n=32, every_ms=200)
+            .select("media_id", F.lit("h264").alias("codec"),
+                    "frame_idx", "ts_ms", "means_ok", "compressed"))
+    return mjpeg.unionByName(h264).orderBy("codec", "media_id",
+                                           "frame_idx")
 
 
 def q_multimodal_audio_features(spark, sf_dir):
@@ -1973,11 +1994,20 @@ FROM m, yy, xx GROUP BY 1 ORDER BY 1
             "(range%3 <> 0 OR range%2 <> 0) AS container_differs "
             "FROM range(0, 32) ORDER BY 1",
         "multimodal_video_frame_means":
-            "SELECT m.media_id, CAST(f.idx AS INT) AS frame_idx, "
-            "CAST(f.idx * 100 AS INT) AS ts_ms, true AS means_ok "
+            "SELECT * FROM ("
+            "SELECT m.media_id, 'mjpeg' AS codec, "
+            "CAST(f.idx AS INT) AS frame_idx, "
+            "CAST(f.idx * 100 AS INT) AS ts_ms, true AS means_ok, "
+            "true AS compressed "
             "FROM (SELECT range AS media_id FROM range(0, 64) "
             "WHERE range % 3 = 2) m, (VALUES (0), (2), (4)) f(idx) "
-            "ORDER BY 1, 2",
+            "UNION ALL "
+            "SELECT h.range AS media_id, 'h264' AS codec, "
+            "CAST(f.idx AS INT) AS frame_idx, "
+            "CAST(f.idx * 100 AS INT) AS ts_ms, true AS means_ok, "
+            "true AS compressed "
+            "FROM range(0, 32) h, (VALUES (0), (2)) f(idx)"
+            ") ORDER BY codec, media_id, frame_idx",
         "multimodal_audio_features":
             "SELECT range AS media_id, CAST(1600 AS BIGINT) AS n_samples, "
             "CAST(16000 AS BIGINT) AS sample_rate, true AS freq_ok, "

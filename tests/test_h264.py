@@ -256,3 +256,15 @@ class TestMp4Glue:
                 avc_sample([encode_sps(16, 16)]),
                 build_avcc(encode_sps(16, 16),
                            encode_pps(deblocking_control=True)))
+
+
+class TestDistributedTier:
+    def test_h264_frame_features(self, spark):
+        from sparksketch.multimodal import h264_frame_features
+        pdf = (h264_frame_features(spark, n=6, every_ms=200)
+               .toPandas().sort_values(["media_id", "frame_idx"]))
+        # 4-frame 10 fps clip (400 ms), sampled every 200 ms -> 0 and 2
+        assert list(pdf.frame_idx) == [0, 2] * 6
+        assert list(pdf.ts_ms) == [0, 200] * 6
+        assert pdf.means_ok.all()       # decoded means match the ramp
+        assert pdf.compressed.all()     # predicted MBs actually engaged
