@@ -4,31 +4,33 @@ frame-decode layer.
 What this is (precisely): a conformant SUBSET of ITU-T H.264 / ISO 14496-10
 baseline profile — IDR pictures, one I slice per picture, CAVLC entropy
 mode, 4:2:0 8-bit, frame_mbs_only, macroblock types **I_PCM** and
-**Intra_16x16 with zero coded residual** (CodedBlockPatternLuma =
-CodedBlockPatternChroma = 0), loop filter disabled via the slice header
-(disable_deblocking_filter_idc = 1, so a PPS with
-deblocking_filter_control_present is required — mp4.encode_pps(True)).
+**Intra_16x16 with full coded residuals** (CodedBlockPatternLuma 0/15,
+CodedBlockPatternChroma 0/1/2 — quantized 4x4 transform coefficients
+through the complete CAVLC layer: coeff_token Table 9-5 incl. the chroma-DC
+column and the nC>=8 FLC, adaptive level prefix/suffix 9.2.2, total_zeros
+Tables 9-7/9-8/9-9(a), run_before Table 9-10 — see h264_residual.py), loop
+filter disabled via the slice header (disable_deblocking_filter_idc = 1, so
+a PPS with deblocking_filter_control_present is required —
+mp4.encode_pps(True)).
 
 The ENCODER makes a real per-macroblock rate-distortion choice: the best
 available Intra_16x16 luma prediction (Vertical / Horizontal / DC / Plane,
 spec 8.3.3) plus the best chroma 8x8 prediction (DC / Horizontal /
-Vertical / Plane, spec 8.3.4) when prediction approximates the source
-within ``pcm_mad`` mean-absolute-difference per sample, else lossless
-I_PCM.  Prediction runs off the RECONSTRUCTED neighbor samples, exactly as
-a decoder sees them, so the decoder's output is bit-identical to the
-encoder's own reconstruction (tested in tests/test_h264.py).
+Vertical / Plane, spec 8.3.4), residual-coded at ``qp``, whenever the
+RECONSTRUCTION approximates the source within ``pcm_mad``
+mean-absolute-difference per sample, else lossless I_PCM.  Prediction runs
+off the RECONSTRUCTED neighbor samples, exactly as a decoder sees them,
+and the encoder reconstructs through the decoder's own
+dequant/inverse-transform functions, so the decoder's output is
+bit-identical to the encoder's reconstruction (tested in
+tests/test_h264.py).
 
-The DECODER accepts any stream inside the subset — including the CAVLC
-coeff_token context machinery it needs for the always-present
-Intra16x16DCLevel block (nC from neighboring 4x4 totals, with I_PCM
-neighbors counting 16 per spec 9.2.1, and all four coeff_token table
-columns' TotalCoeff==0 codewords incl. the nC>=8 six-bit FLC).  Anything
-OUTSIDE the subset raises NotImplementedError naming the feature: the
-remaining seam is coefficient-level residual decode (the full CAVLC
-Tables 9-5..9-10), Intra_4x4 / inter prediction, CABAC, and the loop
-filter.  That seam is now *inside* the entropy-coded slice layer rather
-than in front of it — slice headers, macroblock headers, PCM payloads and
-predicted macroblocks all decode for real.
+The DECODER accepts any stream inside the subset — including full CAVLC
+residual decode with the per-4x4-block nC neighbor context (I_PCM
+neighbors counting 16 per spec 9.2.1), per-MB QP tracking via
+mb_qp_delta, and the chroma QP mapping of Table 8-15.  Anything OUTSIDE
+the subset raises NotImplementedError naming the feature: the remaining
+seam is Intra_4x4 / inter prediction, CABAC, and the loop filter.
 
 Why a per-macroblock Python loop is acceptable here: fixture media frames
 are tiny (a few dozen macroblocks) and the codec runs INSIDE mapInPandas —
@@ -43,6 +45,7 @@ import struct
 
 import numpy as np
 
+from . import h264_residual as hr
 from .mp4 import _BitReader, _BitWriter, _unescape_rbsp, parse_avcc, \
     parse_pps, parse_sps
 
@@ -193,58 +196,83 @@ def _pred_chroma8(rec: np.ndarray, x0: int, y0: int) \
 
 
 # ---------------------------------------------------------------------------
-# CAVLC coeff_token, TotalCoeff == 0 entries (spec 9.2.1, Table 9-5).
-# The DC luma block of every Intra_16x16 MB is entropy-coded even when
-# empty, and its table column depends on the neighbor context nC — with
-# I_PCM neighbors counting as 16 coefficients, all four columns occur.
+# Intra_16x16 residual syntax (spec 7.3.5.3 residual_data, CAVLC) — the
+# block-by-block read/write order shared by encoder and decoder, with the
+# per-4x4 TotalCoeff context grids of 9.2.1 (I_PCM cells hold 16)
 # ---------------------------------------------------------------------------
 
-def _nc(pcm: np.ndarray, mbx: int, mby: int) -> int:
-    """nC for the Intra16x16DCLevel block (derived as for 4x4 luma block
-    0): neighbor totals are 0 for our zero-residual MBs, 16 for I_PCM
-    MBs (spec 9.2.1)."""
-    a_avail, b_avail = mbx > 0, mby > 0
-    na = 16 if a_avail and pcm[mby, mbx - 1] else 0
-    nb = 16 if b_avail and pcm[mby - 1, mbx] else 0
-    if a_avail and b_avail:
-        return (na + nb + 1) >> 1
-    if a_avail:
-        return na
-    if b_avail:
-        return nb
-    return 0
+class _CoeffCtx:
+    """Per-4x4-block TotalCoeff grids for CAVLC nC derivation."""
+
+    def __init__(self, mbs_w: int, mbs_h: int):
+        self.luma = np.zeros((mbs_h * 4, mbs_w * 4), dtype=np.int16)
+        self.cb = np.zeros((mbs_h * 2, mbs_w * 2), dtype=np.int16)
+        self.cr = np.zeros((mbs_h * 2, mbs_w * 2), dtype=np.int16)
+
+    def mark_pcm(self, mbx: int, mby: int) -> None:
+        self.luma[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
+        self.cb[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+        self.cr[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
 
 
-def _write_coeff_token_zero(w: _BitWriter, nc: int) -> None:
-    """coeff_token for TrailingOnes=0, TotalCoeff=0 (Table 9-5)."""
-    if nc < 2:
-        w.u(0b1, 1)
-    elif nc < 4:
-        w.u(0b11, 2)
-    elif nc < 8:
-        w.u(0b1111, 4)
-    else:
-        w.u(0b000011, 6)
+def _write_i16_residual(w: _BitWriter, ctx: _CoeffCtx, mbx: int, mby: int,
+                        dcL: np.ndarray, acL, cbp_luma: int,
+                        dcCb: np.ndarray, acCb, dcCr: np.ndarray, acCr,
+                        cbp_chroma: int) -> None:
+    bx0, by0 = mbx * 4, mby * 4
+    cx0, cy0 = mbx * 2, mby * 2
+    # Intra16x16DCLevel: zig-zag of the (4,4) DC matrix; nC as for luma
+    # block 0; its TotalCoeff does NOT enter the context grid
+    hr.write_residual_block(w, hr.mat_to_scan(dcL),
+                            hr.nc_from_grid(ctx.luma, bx0, by0))
+    if cbp_luma:
+        for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+            nc = hr.nc_from_grid(ctx.luma, bx0 + ox, by0 + oy)
+            ctx.luma[by0 + oy, bx0 + ox] = \
+                hr.write_residual_block(w, acL[blk], nc)
+    if cbp_chroma:
+        hr.write_residual_block(w, dcCb.reshape(-1), -1)
+        hr.write_residual_block(w, dcCr.reshape(-1), -1)
+    if cbp_chroma == 2:
+        for grid, ac in ((ctx.cb, acCb), (ctx.cr, acCr)):
+            for blk, (ox, oy) in enumerate(hr.CHROMA_BLOCK_ORDER):
+                nc = hr.nc_from_grid(grid, cx0 + ox, cy0 + oy)
+                grid[cy0 + oy, cx0 + ox] = \
+                    hr.write_residual_block(w, ac[blk], nc)
 
 
-def _read_coeff_token_zero(r: _BitReader, nc: int) -> None:
-    """Read a coeff_token and require TotalCoeff == 0.  The TotalCoeff==0
-    codewords ('1' / '11' / '1111' / FLC 000011) are uniquely decodable
-    against the rest of each Table 9-5 column, so a nonzero count is
-    detected without the full table — and is exactly the documented
-    remaining seam."""
-    if nc >= 8:  # 6-bit FLC: 4*(TotalCoeff-1)+TrailingOnes; 3 <=> (0,0)
-        if r.u(6) != 0b000011:
-            raise NotImplementedError(
-                "coefficient-level CAVLC decode (TotalCoeff > 0) is the "
-                "documented seam")
-        return
-    need = 1 if nc < 2 else (2 if nc < 4 else 4)
-    for _ in range(need):
-        if r.u(1) != 1:
-            raise NotImplementedError(
-                "coefficient-level CAVLC decode (TotalCoeff > 0) is the "
-                "documented seam")
+def _read_i16_residual(r: _BitReader, ctx: _CoeffCtx, mbx: int, mby: int,
+                       cbp_luma: int, cbp_chroma: int):
+    """-> (dcL (4,4), acL 16x[15] | None, dcCb (2,2), acCb | None,
+    dcCr, acCr)."""
+    bx0, by0 = mbx * 4, mby * 4
+    cx0, cy0 = mbx * 2, mby * 2
+    dc_scan, _ = hr.read_residual_block(
+        r, hr.nc_from_grid(ctx.luma, bx0, by0), 16)
+    dcL = hr.scan_to_mat(dc_scan)
+    acL = None
+    if cbp_luma:
+        acL = []
+        for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+            nc = hr.nc_from_grid(ctx.luma, bx0 + ox, by0 + oy)
+            coeffs, tc = hr.read_residual_block(r, nc, 15)
+            ctx.luma[by0 + oy, bx0 + ox] = tc
+            acL.append(coeffs)
+    dcCb = np.zeros((2, 2), dtype=np.int64)
+    dcCr = np.zeros((2, 2), dtype=np.int64)
+    if cbp_chroma:
+        dcCb = hr.read_residual_block(r, -1, 4)[0].reshape(2, 2)
+        dcCr = hr.read_residual_block(r, -1, 4)[0].reshape(2, 2)
+    acCb = acCr = None
+    if cbp_chroma == 2:
+        acCb, acCr = [], []
+        for grid, acc in ((ctx.cb, acCb), (ctx.cr, acCr)):
+            for blk, (ox, oy) in enumerate(hr.CHROMA_BLOCK_ORDER):
+                nc = hr.nc_from_grid(grid, cx0 + ox, cy0 + oy)
+                coeffs, tc = hr.read_residual_block(r, nc, 15)
+                grid[cy0 + oy, cx0 + ox] = tc
+                acc.append(coeffs)
+    return dcL, acL, dcCb, acCb, dcCr, acCr
 
 
 # ---------------------------------------------------------------------------
@@ -261,13 +289,16 @@ def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
     """Encode one RGB frame as an IDR slice NAL (header byte 0x65
     included; wrap with ``avc_sample`` for MP4 mdat).
 
-    Per MB: best available Intra_16x16 + chroma prediction if its luma
-    AND chroma mean-abs-diff stay within ``pcm_mad``, else I_PCM.
-    ``pcm_mad=0`` is lossless (I_PCM except exactly-predicted MBs);
-    a negative value forces I_PCM everywhere.  The slice
-    header matches mp4.encode_sps/encode_pps(deblocking_control=True)
-    fixed choices (log2_max_frame_num=8, poc_type=0, poc lsb bits=8,
-    pic_init_qp=26)."""
+    Per MB: best available Intra_16x16 + chroma prediction with the
+    residual transform-coded at ``qp`` — used when the RECONSTRUCTION's
+    luma and chroma mean-abs-diff both stay within ``pcm_mad``, else
+    lossless I_PCM.  ``pcm_mad=0`` keeps the frame lossless (I_PCM except
+    exactly-reconstructed MBs); a negative value forces I_PCM everywhere.
+    CodedBlockPattern bits are derived from the actual quantized levels
+    (all-zero AC -> cbp_luma 0; zero chroma -> cbp_chroma 0/1/2).  The
+    slice header matches mp4.encode_sps/encode_pps(deblocking_control=
+    True) fixed choices (log2_max_frame_num=8, poc_type=0, poc lsb
+    bits=8, pic_init_qp=26)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("encode_iframe expects (h, w, 3) RGB")
     Y, Cb, Cr = rgb_to_yuv420(rgb)
@@ -276,7 +307,10 @@ def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
     recY = np.zeros_like(Y)
     recCb = np.zeros_like(Cb)
     recCr = np.zeros_like(Cr)
-    pcm = np.zeros((mbs_h, mbs_w), dtype=bool)
+    ctx = _CoeffCtx(mbs_w, mbs_h)
+    if not 0 <= qp <= 51:
+        raise ValueError(f"qp must be in [0, 51], got {qp}")
+    qpc = hr.chroma_qp(qp, 0)  # our PPS writes chroma_qp_index_offset 0
 
     w = _BitWriter()
     w.ue(0)            # first_mb_in_slice
@@ -310,22 +344,49 @@ def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
                       + float(np.abs(oCr.astype(np.int64)
                                      - cpr[m].astype(np.int64)).mean()))
                   / 2.0) for m in cpb), key=lambda t: (t[1], t[0]))
-            if max(lmad, cmad) <= pcm_mad:
-                # Intra_16x16, cbp_luma=0, cbp_chroma=0 (Table 7-11)
-                w.ue(1 + lmode)          # mb_type 1..4
+            # forward transform + quant of the residual, then reconstruct
+            # through the DECODER's dequant/inverse path — the PCM choice
+            # is made on what the decoder will actually see
+            dcL, acL = hr.transform_quant_luma16(oY, lpred, qp)
+            cbp_luma = 15 if any(a.any() for a in acL) else 0
+            dcCb, acCb = hr.transform_quant_chroma8(oCb, cpb[cmode], qpc)
+            dcCr, acCr = hr.transform_quant_chroma8(oCr, cpr[cmode], qpc)
+            if any(a.any() for a in acCb) or any(a.any() for a in acCr):
+                cbp_chroma = 2
+            elif dcCb.any() or dcCr.any():
+                cbp_chroma = 1
+            else:
+                cbp_chroma = 0
+            rY = hr.recon_luma16(lpred, dcL, acL if cbp_luma else None, qp)
+            rCb = hr.recon_chroma8(
+                cpb[cmode], dcCb if cbp_chroma else np.zeros((2, 2), np.int64),
+                acCb if cbp_chroma == 2 else None, qpc)
+            rCr = hr.recon_chroma8(
+                cpr[cmode], dcCr if cbp_chroma else np.zeros((2, 2), np.int64),
+                acCr if cbp_chroma == 2 else None, qpc)
+            rlmad = float(np.abs(oY.astype(np.int64)
+                                 - rY.astype(np.int64)).mean())
+            rcmad = (float(np.abs(oCb.astype(np.int64)
+                                  - rCb.astype(np.int64)).mean())
+                     + float(np.abs(oCr.astype(np.int64)
+                                    - rCr.astype(np.int64)).mean())) / 2.0
+            if max(rlmad, rcmad) <= pcm_mad:
+                # Intra_16x16 (Table 7-11): 1 + pm + 4*cbpC + 12*[cbpL]
+                w.ue(1 + lmode + 4 * cbp_chroma + (12 if cbp_luma else 0))
                 w.ue(cmode)              # intra_chroma_pred_mode
-                w.se(0)                  # mb_qp_delta
-                _write_coeff_token_zero(w, _nc(pcm, mbx, mby))
-                recY[yy:yy + 16, yx:yx + 16] = lpred
-                recCb[cy:cy + 8, cx:cx + 8] = cpb[cmode]
-                recCr[cy:cy + 8, cx:cx + 8] = cpr[cmode]
+                w.se(0)                  # mb_qp_delta (constant QP slice)
+                _write_i16_residual(w, ctx, mbx, mby, dcL, acL, cbp_luma,
+                                    dcCb, acCb, dcCr, acCr, cbp_chroma)
+                recY[yy:yy + 16, yx:yx + 16] = rY
+                recCb[cy:cy + 8, cx:cx + 8] = rCb
+                recCr[cy:cy + 8, cx:cx + 8] = rCr
             else:
                 w.ue(25)                 # I_PCM
                 w.align()                # pcm_alignment_zero_bit
                 w.bytes_(oY.tobytes())
                 w.bytes_(oCb.tobytes())
                 w.bytes_(oCr.tobytes())
-                pcm[mby, mbx] = True
+                ctx.mark_pcm(mbx, mby)
                 recY[yy:yy + 16, yx:yx + 16] = oY
                 recCb[cy:cy + 8, cx:cx + 8] = oCb
                 recCr[cy:cy + 8, cx:cx + 8] = oCr
@@ -380,7 +441,9 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
             if r.u(1):  # adaptive_ref_pic_marking_mode_flag
                 raise NotImplementedError(
                     "adaptive ref pic marking unsupported")
-    r.se()  # slice_qp_delta (no residual -> value unused)
+    qp = pps.get("pic_init_qp", 26) + r.se()  # slice_qp_delta
+    if not 0 <= qp <= 51:
+        raise ValueError(f"slice QP {qp} out of range")
     if pps.get("deblocking_filter_control_present"):
         if r.ue() != 1:
             raise NotImplementedError(
@@ -396,7 +459,8 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
     recY = np.zeros((mbs_h * 16, mbs_w * 16), dtype=np.uint8)
     recCb = np.zeros((mbs_h * 8, mbs_w * 8), dtype=np.uint8)
     recCr = np.zeros((mbs_h * 8, mbs_w * 8), dtype=np.uint8)
-    pcm = np.zeros((mbs_h, mbs_w), dtype=bool)
+    ctx = _CoeffCtx(mbs_w, mbs_h)
+    qp_offset = pps.get("chroma_qp_index_offset", 0)
     for addr in range(mbs_w * mbs_h):
         mby, mbx = divmod(addr, mbs_w)
         yx, yy = mbx * 16, mby * 16
@@ -410,7 +474,7 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
                 r.read_bytes(64), dtype=np.uint8).reshape(8, 8)
             recCr[cy:cy + 8, cx:cx + 8] = np.frombuffer(
                 r.read_bytes(64), dtype=np.uint8).reshape(8, 8)
-            pcm[mby, mbx] = True
+            ctx.mark_pcm(mbx, mby)
             continue
         if mb_type == 0:
             raise NotImplementedError("Intra_4x4 prediction is the "
@@ -421,14 +485,14 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
         pm = (mb_type - 1) % 4
         cbp_chroma = ((mb_type - 1) // 4) % 3
         cbp_luma = 15 if mb_type >= 13 else 0
-        if cbp_chroma or cbp_luma:
-            raise NotImplementedError(
-                "coded residual (cbp != 0) is the documented seam")
         cmode = r.ue()  # intra_chroma_pred_mode
         if cmode > 3:
             raise ValueError(f"invalid intra_chroma_pred_mode {cmode}")
-        r.se()  # mb_qp_delta
-        _read_coeff_token_zero(r, _nc(pcm, mbx, mby))
+        # mb_qp_delta: QPy = (QPy,prev + delta + 52) % 52 (spec 7.4.5)
+        qp = (qp + r.se() + 52) % 52
+        qpc = hr.chroma_qp(qp, qp_offset)
+        dcL, acL, dcCb, acCb, dcCr, acCr = _read_i16_residual(
+            r, ctx, mbx, mby, cbp_luma, cbp_chroma)
         lp = _pred_luma16(recY, yx, yy)
         if pm not in lp:
             raise ValueError(
@@ -440,9 +504,11 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
             raise ValueError(
                 f"chroma mode {cmode} needs unavailable neighbors at "
                 f"mb ({mbx},{mby})")
-        recY[yy:yy + 16, yx:yx + 16] = lp[pm]
-        recCb[cy:cy + 8, cx:cx + 8] = cpb[cmode]
-        recCr[cy:cy + 8, cx:cx + 8] = cpr[cmode]
+        recY[yy:yy + 16, yx:yx + 16] = hr.recon_luma16(lp[pm], dcL, acL, qp)
+        recCb[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
+            cpb[cmode], dcCb, acCb, qpc)
+        recCr[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
+            cpr[cmode], dcCr, acCr, qpc)
     h, w = sps["height"], sps["width"]
     crop_l, _, crop_t, _ = sps.get("crop", (0, 0, 0, 0))
     x0, y0 = 2 * crop_l, 2 * crop_t  # 4:2:0 crop units -> luma samples

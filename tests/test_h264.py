@@ -10,7 +10,8 @@ import pytest
 
 from sparksketch.h264 import (avc_sample, decode_avc_sample, decode_iframe,
                               encode_iframe, rgb_to_yuv420, yuv420_to_rgb,
-                              _nc, _pred_chroma8, _pred_luma16)
+                              _CoeffCtx, _pred_chroma8, _pred_luma16)
+from sparksketch.h264_residual import nc_from_grid
 from sparksketch.mp4 import (build_avcc, build_mp4, encode_pps, encode_sps,
                              mp4_frame_plan, parse_mp4, parse_pps, parse_sps)
 
@@ -82,11 +83,13 @@ class TestPcmLossless:
         assert np.array_equal(out, _recon_420(rgb))
 
     def test_emulation_prevention_survives(self):
-        # zero blocks force 00 00 runs through the RBSP escape layer
+        # zero PCM payload bytes force 00 00 runs through the RBSP
+        # escape layer (pcm_mad=-1 forces I_PCM: flat MBs would
+        # otherwise residual-code exactly and never emit zero runs)
         rgb = np.zeros((16, 32, 3), dtype=np.uint8)
         rgb[:, 16:] = 255
         sps, pps, _, _ = _cfg(32, 16)
-        nal = encode_iframe(rgb, pcm_mad=0.0)
+        nal = encode_iframe(rgb, pcm_mad=-1.0)
         assert b"\x00\x00\x03" in nal  # escapes actually inserted
         assert np.array_equal(decode_iframe(nal, sps, pps),
                               _recon_420(rgb))
@@ -123,7 +126,9 @@ class TestPredictedPath:
         rgb = _gradient(48, 64, seed=10).copy()
         rgb[16:32, 16:32] = _noise(16, 16, 9)
         sps, pps, _, _ = _cfg(64, 48)
-        nal = encode_iframe(rgb, pcm_mad=5.0)
+        # pcm_mad below the ~qstep/3 residual-coding floor at qp=26, so
+        # the noise MB still goes PCM while smooth MBs residual-code
+        nal = encode_iframe(rgb, pcm_mad=1.5)
         out = decode_iframe(nal, sps, pps)
         assert np.array_equal(out[16:32, 16:32],
                               _recon_420(rgb)[16:32, 16:32])
@@ -134,17 +139,19 @@ class TestPredictedPath:
         # MB to the RIGHT of an I_PCM MB reads its DC coeff_token from
         # the nC>=8 FLC table — a decode that ignored the PCM neighbor
         # rule (nN=16, spec 9.2.1) would desync and fail loudly
-        pcm = np.zeros((2, 3), dtype=bool)
-        pcm[0, 0] = True
-        assert _nc(pcm, 1, 0) == 16      # only left avail, PCM
-        assert _nc(pcm, 1, 1) == 0       # left+up non-PCM
-        assert _nc(pcm, 0, 1) == 16      # up is PCM, no left
-        pcm[0, 1] = True
-        assert _nc(pcm, 1, 1) == 8       # left 0 + up 16 -> (0+16+1)>>1
+        ctx = _CoeffCtx(3, 2)
+        ctx.mark_pcm(0, 0)
+        # DC block of MB (1,0): left = PCM MB's rightmost column (16)
+        assert nc_from_grid(ctx.luma, 4, 0) == 16
+        assert nc_from_grid(ctx.luma, 4, 4) == 0    # left+up non-PCM
+        assert nc_from_grid(ctx.luma, 0, 4) == 16   # up is PCM
+        ctx.mark_pcm(1, 0)
+        # left total 0 + up total 16 -> (0+16+1)>>1
+        assert nc_from_grid(ctx.luma, 4, 4) == 8
         rgb = _gradient(32, 48, seed=3).copy()
         rgb[0:16, 0:16] = _noise(16, 16, 4)   # forces PCM at (0,0)
         sps, pps, _, _ = _cfg(48, 32)
-        out = decode_iframe(encode_iframe(rgb, pcm_mad=5.0), sps, pps)
+        out = decode_iframe(encode_iframe(rgb, pcm_mad=1.5), sps, pps)
         assert np.array_equal(out[0:16, 0:16],
                               _recon_420(rgb)[0:16, 0:16])
 
@@ -206,7 +213,9 @@ class TestSeamsRaiseLoudly:
         with pytest.raises(NotImplementedError, match="Intra_4x4"):
             decode_iframe(bytes([0x65]) + w.rbsp(), sps, pps)
 
-    def test_coded_residual_rejected(self):
+    def test_truncated_residual_rejected(self):
+        # an I_16x16 header announcing cbp_luma=15 with no residual bits
+        # behind it must fail loudly (truncation), never silently decode
         from sparksketch.mp4 import _BitWriter
         sps, pps, _, _ = _cfg(16, 16)
         w = _BitWriter()
@@ -219,7 +228,9 @@ class TestSeamsRaiseLoudly:
         w.se(0)
         w.ue(1)
         w.ue(13)  # I_16x16 with cbp_luma = 15
-        with pytest.raises(NotImplementedError, match="cbp"):
+        w.ue(0)   # intra_chroma_pred_mode
+        w.se(0)   # mb_qp_delta — then nothing: residual bits missing
+        with pytest.raises(ValueError):
             decode_iframe(bytes([0x65]) + w.rbsp(), sps, pps)
 
     def test_truncated_pcm_rejected(self):
