@@ -3,34 +3,38 @@ frame-decode layer.
 
 What this is (precisely): a conformant SUBSET of ITU-T H.264 / ISO 14496-10
 baseline profile — IDR pictures, one I slice per picture, CAVLC entropy
-mode, 4:2:0 8-bit, frame_mbs_only, macroblock types **I_PCM** and
-**Intra_16x16 with full coded residuals** (CodedBlockPatternLuma 0/15,
-CodedBlockPatternChroma 0/1/2 — quantized 4x4 transform coefficients
-through the complete CAVLC layer: coeff_token Table 9-5 incl. the chroma-DC
-column and the nC>=8 FLC, adaptive level prefix/suffix 9.2.2, total_zeros
-Tables 9-7/9-8/9-9(a), run_before Table 9-10 — see h264_residual.py), loop
-filter disabled via the slice header (disable_deblocking_filter_idc = 1, so
-a PPS with deblocking_filter_control_present is required —
-mp4.encode_pps(True)).
+mode, 4:2:0 8-bit, frame_mbs_only, macroblock types **I_PCM**,
+**Intra_16x16** and **Intra_4x4**, all with full coded residuals
+(CodedBlockPattern via Table 7-11 / the Table 9-4 me(v) mapping —
+quantized 4x4 transform coefficients through the complete CAVLC layer:
+coeff_token Table 9-5 incl. the chroma-DC column and the nC>=8 FLC,
+adaptive level prefix/suffix 9.2.2, total_zeros Tables 9-7/9-8/9-9(a),
+run_before Table 9-10 — see h264_residual.py), loop filter disabled via
+the slice header (disable_deblocking_filter_idc = 1, so a PPS with
+deblocking_filter_control_present is required — mp4.encode_pps(True)).
 
 The ENCODER makes a real per-macroblock rate-distortion choice: the best
 available Intra_16x16 luma prediction (Vertical / Horizontal / DC / Plane,
-spec 8.3.3) plus the best chroma 8x8 prediction (DC / Horizontal /
-Vertical / Plane, spec 8.3.4), residual-coded at ``qp``, whenever the
-RECONSTRUCTION approximates the source within ``pcm_mad``
+spec 8.3.3) against a full Intra_4x4 trial (all nine 8.3.1 modes per 4x4
+block, chosen by prediction SAD with a most-probable-mode bias), each
+residual-coded at ``qp``, plus the best chroma 8x8 prediction (DC /
+Horizontal / Vertical / Plane, spec 8.3.4); the winner is used whenever
+its RECONSTRUCTION approximates the source within ``pcm_mad``
 mean-absolute-difference per sample, else lossless I_PCM.  Prediction runs
 off the RECONSTRUCTED neighbor samples, exactly as a decoder sees them,
 and the encoder reconstructs through the decoder's own
 dequant/inverse-transform functions, so the decoder's output is
 bit-identical to the encoder's reconstruction (tested in
-tests/test_h264.py).
+tests/test_h264.py, tests/test_h264_i4x4.py).
 
 The DECODER accepts any stream inside the subset — including full CAVLC
 residual decode with the per-4x4-block nC neighbor context (I_PCM
-neighbors counting 16 per spec 9.2.1), per-MB QP tracking via
-mb_qp_delta, and the chroma QP mapping of Table 8-15.  Anything OUTSIDE
-the subset raises NotImplementedError naming the feature: the remaining
-seam is Intra_4x4 / inter prediction, CABAC, and the loop filter.
+neighbors counting 16 per spec 9.2.1), Intra_4x4 most-probable-mode
+signalling (8.3.1.1) with decode-order sample availability, per-MB QP
+tracking via mb_qp_delta, and the chroma QP mapping of Table 8-15.
+Anything OUTSIDE the subset raises NotImplementedError naming the
+feature: the remaining seam is inter prediction, CABAC, and the loop
+filter.
 
 Why a per-macroblock Python loop is acceptable here: fixture media frames
 are tiny (a few dozen macroblocks) and the codec runs INSIDE mapInPandas —
@@ -196,6 +200,171 @@ def _pred_chroma8(rec: np.ndarray, x0: int, y0: int) \
 
 
 # ---------------------------------------------------------------------------
+# Intra_4x4 prediction (spec 8.3.1) — the 9 per-4x4-block modes, sample
+# availability from a decode-order grid, and the most-probable-mode
+# signalling of 8.3.1.1
+# ---------------------------------------------------------------------------
+
+# Intra4x4PredMode names (Table 8-2)
+_I4_V, _I4_H, _I4_DC, _I4_DDL, _I4_DDR, _I4_VR, _I4_HD, _I4_VL, _I4_HU = \
+    range(9)
+
+
+def _pred_luma4(rec: np.ndarray, x0: int, y0: int,
+                decoded: np.ndarray) -> dict[int, np.ndarray]:
+    """Available Intra_4x4 predictions for the block at luma sample
+    (x0, y0).  ``decoded`` is the absolute 4x4-block boolean grid of
+    already-reconstructed blocks — availability is pure decode order, so
+    the classic 'block 3/7/11/13/15 has no top-right' pattern and the
+    across-MB cases all fall out of it.  Returns {mode: (4,4) uint8}."""
+    bh, bw = decoded.shape
+    bx, by = x0 // 4, y0 // 4
+
+    def dec(bx_, by_):
+        return 0 <= bx_ < bw and 0 <= by_ < bh and decoded[by_, bx_]
+
+    left = dec(bx - 1, by)
+    top = dec(bx, by - 1)
+    corner = dec(bx - 1, by - 1)
+    topright = dec(bx + 1, by - 1)
+    l = rec[y0:y0 + 4, x0 - 1].astype(np.int64) if left else None
+    t = np.empty(8, dtype=np.int64) if top else None
+    if top:
+        t[:4] = rec[y0 - 1, x0:x0 + 4]
+        if topright:
+            t[4:] = rec[y0 - 1, x0 + 4:x0 + 8]
+        else:  # 8.3.1.2: substitute p[3,-1] for unavailable p[4..7,-1]
+            t[4:] = t[3]
+    c = int(rec[y0 - 1, x0 - 1]) if corner else None
+
+    def px(i):  # p[i, -1] with p[-1, -1] = corner
+        return c if i < 0 else int(t[i])
+
+    def pl(i):  # p[-1, i] with p[-1, -1] = corner
+        return c if i < 0 else int(l[i])
+
+    out: dict[int, np.ndarray] = {}
+    if top:
+        out[_I4_V] = np.broadcast_to(t[:4], (4, 4)).astype(np.uint8)
+    if left:
+        out[_I4_H] = np.broadcast_to(l[:, None], (4, 4)).astype(np.uint8)
+    if top and left:
+        dc = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+    elif top:
+        dc = (int(t[:4].sum()) + 2) >> 2
+    elif left:
+        dc = (int(l.sum()) + 2) >> 2
+    else:
+        dc = 128
+    out[_I4_DC] = np.full((4, 4), dc, dtype=np.uint8)
+    if top:
+        p = np.empty((4, 4), dtype=np.int64)
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (px(6) + 3 * px(7) + 2) >> 2
+                else:
+                    p[y, x] = (px(x + y) + 2 * px(x + y + 1)
+                               + px(x + y + 2) + 2) >> 2
+        out[_I4_DDL] = p.astype(np.uint8)
+        p = np.empty((4, 4), dtype=np.int64)
+        for y in range(4):
+            for x in range(4):
+                if y % 2 == 0:
+                    p[y, x] = (px(x + (y >> 1))
+                               + px(x + (y >> 1) + 1) + 1) >> 1
+                else:
+                    p[y, x] = (px(x + (y >> 1)) + 2 * px(x + (y >> 1) + 1)
+                               + px(x + (y >> 1) + 2) + 2) >> 2
+        out[_I4_VL] = p.astype(np.uint8)
+    if left:
+        p = np.empty((4, 4), dtype=np.int64)
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z in (0, 2, 4):
+                    p[y, x] = (pl(y + (x >> 1))
+                               + pl(y + (x >> 1) + 1) + 1) >> 1
+                elif z in (1, 3):
+                    p[y, x] = (pl(y + (x >> 1)) + 2 * pl(y + (x >> 1) + 1)
+                               + pl(y + (x >> 1) + 2) + 2) >> 2
+                elif z == 5:
+                    p[y, x] = (pl(2) + 3 * pl(3) + 2) >> 2
+                else:
+                    p[y, x] = pl(3)
+        out[_I4_HU] = p.astype(np.uint8)
+    if top and left and corner:
+        p = np.empty((4, 4), dtype=np.int64)
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (px(x - y - 2) + 2 * px(x - y - 1)
+                               + px(x - y) + 2) >> 2
+                elif x < y:
+                    p[y, x] = (pl(y - x - 2) + 2 * pl(y - x - 1)
+                               + pl(y - x) + 2) >> 2
+                else:
+                    p[y, x] = (px(0) + 2 * c + pl(0) + 2) >> 2
+        out[_I4_DDR] = p.astype(np.uint8)
+        p = np.empty((4, 4), dtype=np.int64)
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z in (0, 2, 4, 6):
+                    p[y, x] = (px(x - (y >> 1) - 1)
+                               + px(x - (y >> 1)) + 1) >> 1
+                elif z in (1, 3, 5):
+                    p[y, x] = (px(x - (y >> 1) - 2)
+                               + 2 * px(x - (y >> 1) - 1)
+                               + px(x - (y >> 1)) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (pl(0) + 2 * c + px(0) + 2) >> 2
+                else:
+                    p[y, x] = (pl(y - 1) + 2 * pl(y - 2)
+                               + pl(y - 3) + 2) >> 2
+        out[_I4_VR] = p.astype(np.uint8)
+        p = np.empty((4, 4), dtype=np.int64)
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z in (0, 2, 4, 6):
+                    p[y, x] = (pl(y - (x >> 1) - 1)
+                               + pl(y - (x >> 1)) + 1) >> 1
+                elif z in (1, 3, 5):
+                    p[y, x] = (pl(y - (x >> 1) - 2)
+                               + 2 * pl(y - (x >> 1) - 1)
+                               + pl(y - (x >> 1)) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (px(0) + 2 * c + pl(0) + 2) >> 2
+                else:
+                    p[y, x] = (px(x - 1) + 2 * px(x - 2)
+                               + px(x - 3) + 2) >> 2
+        out[_I4_HD] = p.astype(np.uint8)
+    return out
+
+
+def _most_probable_i4_mode(modes: np.ndarray, bx: int, by: int) -> int:
+    """8.3.1.1: predIntra4x4PredMode = min(modeA, modeB); a neighbor
+    outside the picture or not coded as Intra_4x4 counts as DC (the
+    ``modes`` grid holds -1 there)."""
+    bh, bw = modes.shape
+    ma = modes[by, bx - 1] if bx > 0 else -1
+    mb = modes[by - 1, bx] if by > 0 else -1
+    ma = _I4_DC if ma < 0 else int(ma)
+    mb = _I4_DC if mb < 0 else int(mb)
+    return min(ma, mb)
+
+
+# coded_block_pattern me(v) mapping for intra MBs, ChromaArrayType = 1
+# (Table 9-4, column Intra_4x4): codeNum -> cbp
+_CBP_INTRA = (47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+              16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4, 8,
+              17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
+assert len(_CBP_INTRA_INV) == 48  # the table must be a permutation
+
+
+# ---------------------------------------------------------------------------
 # Intra_16x16 residual syntax (spec 7.3.5.3 residual_data, CAVLC) — the
 # block-by-block read/write order shared by encoder and decoder, with the
 # per-4x4 TotalCoeff context grids of 9.2.1 (I_PCM cells hold 16)
@@ -230,6 +399,15 @@ def _write_i16_residual(w: _BitWriter, ctx: _CoeffCtx, mbx: int, mby: int,
             nc = hr.nc_from_grid(ctx.luma, bx0 + ox, by0 + oy)
             ctx.luma[by0 + oy, bx0 + ox] = \
                 hr.write_residual_block(w, acL[blk], nc)
+    _write_chroma_residual(w, ctx, mbx, mby, dcCb, acCb, dcCr, acCr,
+                           cbp_chroma)
+
+
+def _write_chroma_residual(w: _BitWriter, ctx: _CoeffCtx, mbx: int,
+                           mby: int, dcCb: np.ndarray, acCb,
+                           dcCr: np.ndarray, acCr,
+                           cbp_chroma: int) -> None:
+    cx0, cy0 = mbx * 2, mby * 2
     if cbp_chroma:
         hr.write_residual_block(w, dcCb.reshape(-1), -1)
         hr.write_residual_block(w, dcCr.reshape(-1), -1)
@@ -258,6 +436,13 @@ def _read_i16_residual(r: _BitReader, ctx: _CoeffCtx, mbx: int, mby: int,
             coeffs, tc = hr.read_residual_block(r, nc, 15)
             ctx.luma[by0 + oy, bx0 + ox] = tc
             acL.append(coeffs)
+    return (dcL, acL) + _read_chroma_residual(r, ctx, mbx, mby, cbp_chroma)
+
+
+def _read_chroma_residual(r: _BitReader, ctx: _CoeffCtx, mbx: int,
+                          mby: int, cbp_chroma: int):
+    """-> (dcCb (2,2), acCb | None, dcCr, acCr)."""
+    cx0, cy0 = mbx * 2, mby * 2
     dcCb = np.zeros((2, 2), dtype=np.int64)
     dcCr = np.zeros((2, 2), dtype=np.int64)
     if cbp_chroma:
@@ -272,7 +457,42 @@ def _read_i16_residual(r: _BitReader, ctx: _CoeffCtx, mbx: int, mby: int,
                 coeffs, tc = hr.read_residual_block(r, nc, 15)
                 grid[cy0 + oy, cx0 + ox] = tc
                 acc.append(coeffs)
-    return dcL, acL, dcCb, acCb, dcCr, acCr
+    return dcCb, acCb, dcCr, acCr
+
+
+def _write_i4_luma_residual(w: _BitWriter, ctx: _CoeffCtx, mbx: int,
+                            mby: int, blocks16, cbp_luma: int) -> None:
+    """LumaLevel4x4 residual blocks (16 coefficients, DC included) for
+    the 8x8 groups whose CodedBlockPatternLuma bit is set."""
+    bx0, by0 = mbx * 4, mby * 4
+    for i8 in range(4):
+        if not cbp_luma & (1 << i8):
+            continue
+        for i4 in range(4):
+            blk = i8 * 4 + i4
+            ox, oy = hr.LUMA_BLOCK_ORDER[blk]
+            nc = hr.nc_from_grid(ctx.luma, bx0 + ox, by0 + oy)
+            ctx.luma[by0 + oy, bx0 + ox] = \
+                hr.write_residual_block(w, blocks16[blk], nc)
+
+
+def _read_i4_luma_residual(r: _BitReader, ctx: _CoeffCtx, mbx: int,
+                           mby: int, cbp_luma: int) -> list[np.ndarray]:
+    """-> 16-entry list of 16-coefficient scan-order vectors (zeros for
+    8x8 groups whose cbp bit is clear)."""
+    bx0, by0 = mbx * 4, mby * 4
+    out = [np.zeros(16, dtype=np.int64)] * 16
+    for i8 in range(4):
+        if not cbp_luma & (1 << i8):
+            continue
+        for i4 in range(4):
+            blk = i8 * 4 + i4
+            ox, oy = hr.LUMA_BLOCK_ORDER[blk]
+            nc = hr.nc_from_grid(ctx.luma, bx0 + ox, by0 + oy)
+            coeffs, tc = hr.read_residual_block(r, nc, 16)
+            ctx.luma[by0 + oy, bx0 + ox] = tc
+            out[blk] = coeffs
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +502,41 @@ def _read_i16_residual(r: _BitReader, ctx: _CoeffCtx, mbx: int, mby: int,
 def _pad_mb(plane: np.ndarray, mb: int) -> np.ndarray:
     h, w = plane.shape
     return np.pad(plane, ((0, -h % mb), (0, -w % mb)), mode="edge")
+
+
+def _try_i4_mb(oY: np.ndarray, recY: np.ndarray, yx: int, yy: int,
+               decoded: np.ndarray, i4modes: np.ndarray, qp: int):
+    """Trial-encode one MB as Intra_4x4 on COPIES of the mutable state:
+    per 4x4 block pick the available mode with the smallest prediction
+    SAD (ties prefer the most probable mode, then the lower number),
+    transform+quant the residual, reconstruct through the decoder path.
+    -> (modes[16], blocks16 scan-order, recon (16,16) uint8, mad)."""
+    recl = recY.copy()
+    dec = decoded.copy()
+    modes_loc = i4modes.copy()
+    modes: list[int] = []
+    blocks: list[np.ndarray] = []
+    for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+        x, y = yx + ox * 4, yy + oy * 4
+        bx, by = x // 4, y // 4
+        src4 = oY[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4].astype(np.int64)
+        preds = _pred_luma4(recl, x, y, dec)
+        mpm = _most_probable_i4_mode(modes_loc, bx, by)
+        mode, pred, _ = min(
+            ((m, p, (int(np.abs(src4 - p.astype(np.int64)).sum()),
+                     m != mpm, m))
+             for m, p in preds.items()), key=lambda tt: tt[2])
+        q = hr.quant4x4(hr.fwd4x4(src4 - pred.astype(np.int64)), qp)
+        res = hr.inv4x4(hr.dequant4x4_ac(q, qp))
+        rec4 = np.clip(pred.astype(np.int64) + res, 0, 255).astype(np.uint8)
+        recl[y:y + 4, x:x + 4] = rec4
+        dec[by, bx] = True
+        modes_loc[by, bx] = mode
+        modes.append(mode)
+        blocks.append(hr.mat_to_scan(q))
+    rec = recl[yy:yy + 16, yx:yx + 16]
+    mad = float(np.abs(oY.astype(np.int64) - rec.astype(np.int64)).mean())
+    return modes, blocks, rec.copy(), mad
 
 
 def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
@@ -308,6 +563,8 @@ def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
     recCb = np.zeros_like(Cb)
     recCr = np.zeros_like(Cr)
     ctx = _CoeffCtx(mbs_w, mbs_h)
+    decoded = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+    i4modes = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
     if not 0 <= qp <= 51:
         raise ValueError(f"qp must be in [0, 51], got {qp}")
     qpc = hr.chroma_qp(qp, 0)  # our PPS writes chroma_qp_index_offset 0
@@ -370,14 +627,54 @@ def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
                                   - rCb.astype(np.int64)).mean())
                      + float(np.abs(oCr.astype(np.int64)
                                     - rCr.astype(np.int64)).mean())) / 2.0
-            if max(rlmad, rcmad) <= pcm_mad:
-                # Intra_16x16 (Table 7-11): 1 + pm + 4*cbpC + 12*[cbpL]
-                w.ue(1 + lmode + 4 * cbp_chroma + (12 if cbp_luma else 0))
-                w.ue(cmode)              # intra_chroma_pred_mode
-                w.se(0)                  # mb_qp_delta (constant QP slice)
-                _write_i16_residual(w, ctx, mbx, mby, dcL, acL, cbp_luma,
-                                    dcCb, acCb, dcCr, acCr, cbp_chroma)
-                recY[yy:yy + 16, yx:yx + 16] = rY
+            # Intra_4x4 trial: detailed MBs beat one 16x16 prediction
+            modes4, blocks4, rY4, mad4 = _try_i4_mb(
+                oY, recY, yx, yy, decoded, i4modes, qp) \
+                if pcm_mad >= 0 else (None, None, None, float("inf"))
+            use_i4 = mad4 < rlmad
+            best_lmad = mad4 if use_i4 else rlmad
+            bx0, by0 = mbx * 4, mby * 4
+            if max(best_lmad, rcmad) <= pcm_mad:
+                if use_i4:
+                    w.ue(0)          # mb_type: I_4x4 (I_NxN)
+                    mloc = i4modes   # parse-order mpm state (8.3.1.1)
+                    for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+                        bx, by = bx0 + ox, by0 + oy
+                        mpm = _most_probable_i4_mode(mloc, bx, by)
+                        m = modes4[blk]
+                        if m == mpm:
+                            w.u(1, 1)    # prev_intra4x4_pred_mode_flag
+                        else:
+                            w.u(0, 1)
+                            w.u(m if m < mpm else m - 1, 3)
+                        mloc[by, bx] = m
+                    w.ue(cmode)
+                    cbp_luma4 = 0
+                    for i8 in range(4):
+                        if any(blocks4[i8 * 4 + i4].any()
+                               for i4 in range(4)):
+                            cbp_luma4 |= 1 << i8
+                    cbp = cbp_luma4 | (cbp_chroma << 4)
+                    w.ue(_CBP_INTRA_INV[cbp])
+                    if cbp:
+                        w.se(0)          # mb_qp_delta
+                        _write_i4_luma_residual(w, ctx, mbx, mby,
+                                                blocks4, cbp_luma4)
+                        _write_chroma_residual(w, ctx, mbx, mby, dcCb,
+                                               acCb, dcCr, acCr,
+                                               cbp_chroma)
+                    recY[yy:yy + 16, yx:yx + 16] = rY4
+                else:
+                    # Intra_16x16 (Table 7-11): 1+pm+4*cbpC+12*[cbpL]
+                    w.ue(1 + lmode + 4 * cbp_chroma
+                         + (12 if cbp_luma else 0))
+                    w.ue(cmode)          # intra_chroma_pred_mode
+                    w.se(0)              # mb_qp_delta (constant QP slice)
+                    _write_i16_residual(w, ctx, mbx, mby, dcL, acL,
+                                        cbp_luma, dcCb, acCb, dcCr, acCr,
+                                        cbp_chroma)
+                    i4modes[by0:by0 + 4, bx0:bx0 + 4] = -1
+                    recY[yy:yy + 16, yx:yx + 16] = rY
                 recCb[cy:cy + 8, cx:cx + 8] = rCb
                 recCr[cy:cy + 8, cx:cx + 8] = rCr
             else:
@@ -390,6 +687,7 @@ def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
                 recY[yy:yy + 16, yx:yx + 16] = oY
                 recCb[cy:cy + 8, cx:cx + 8] = oCb
                 recCr[cy:cy + 8, cx:cx + 8] = oCr
+            decoded[by0:by0 + 4, bx0:bx0 + 4] = True
     # rbsp() appends the stop bit (rbsp_slice_trailing_bits) and applies
     # emulation prevention over the whole slice — headers AND PCM bytes
     return bytes([0x65]) + w.rbsp()
@@ -405,6 +703,16 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
     ``sps``/``pps`` are parse_sps/parse_pps dicts.  Features outside the
     subset raise NotImplementedError naming the feature; corrupt streams
     raise ValueError."""
+    Y, Cb, Cr = decode_iframe_planes(nal, sps, pps)
+    return yuv420_to_rgb(Y, Cb, Cr)
+
+
+def decode_iframe_planes(nal: bytes, sps: dict, pps: dict) \
+        -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like decode_iframe but returns the cropped (Y, Cb, Cr) planes —
+    the bit-exact decoder output before any colorspace conversion (the
+    RGB round trip clips and rounds, so codec-level tests compare
+    planes)."""
     if not nal:
         raise ValueError("empty NAL")
     nal_type = nal[0] & 0x1F
@@ -460,11 +768,14 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
     recCb = np.zeros((mbs_h * 8, mbs_w * 8), dtype=np.uint8)
     recCr = np.zeros((mbs_h * 8, mbs_w * 8), dtype=np.uint8)
     ctx = _CoeffCtx(mbs_w, mbs_h)
+    decoded = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+    i4modes = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
     qp_offset = pps.get("chroma_qp_index_offset", 0)
     for addr in range(mbs_w * mbs_h):
         mby, mbx = divmod(addr, mbs_w)
         yx, yy = mbx * 16, mby * 16
         cx, cy = mbx * 8, mby * 8
+        bx0, by0 = mbx * 4, mby * 4
         mb_type = r.ue()
         if mb_type == 25:  # I_PCM
             r.align()
@@ -475,10 +786,60 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
             recCr[cy:cy + 8, cx:cx + 8] = np.frombuffer(
                 r.read_bytes(64), dtype=np.uint8).reshape(8, 8)
             ctx.mark_pcm(mbx, mby)
+            decoded[by0:by0 + 4, bx0:bx0 + 4] = True
             continue
-        if mb_type == 0:
-            raise NotImplementedError("Intra_4x4 prediction is the "
-                                      "documented seam")
+        if mb_type == 0:  # I_4x4 (I_NxN)
+            # mb_pred: the 16 per-block mode elements, parse order
+            modes4 = []
+            for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+                bx, by = bx0 + ox, by0 + oy
+                mpm = _most_probable_i4_mode(i4modes, bx, by)
+                if r.u(1):
+                    m = mpm
+                else:
+                    rem = r.u(3)
+                    m = rem if rem < mpm else rem + 1
+                i4modes[by, bx] = m
+                modes4.append(m)
+            cmode = r.ue()
+            if cmode > 3:
+                raise ValueError(
+                    f"invalid intra_chroma_pred_mode {cmode}")
+            code_num = r.ue()
+            if code_num > 47:
+                raise ValueError(f"invalid coded_block_pattern {code_num}")
+            cbp = _CBP_INTRA[code_num]
+            cbp_luma4, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qp = (qp + r.se() + 52) % 52
+            qpc = hr.chroma_qp(qp, qp_offset)
+            blocks4 = _read_i4_luma_residual(r, ctx, mbx, mby, cbp_luma4)
+            dcCb, acCb, dcCr, acCr = _read_chroma_residual(
+                r, ctx, mbx, mby, cbp_chroma)
+            for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+                x, y = yx + ox * 4, yy + oy * 4
+                preds = _pred_luma4(recY, x, y, decoded)
+                if modes4[blk] not in preds:
+                    raise ValueError(
+                        f"Intra_4x4 mode {modes4[blk]} needs unavailable "
+                        f"neighbors at block ({x // 4},{y // 4})")
+                d = hr.dequant4x4_ac(hr.scan_to_mat(blocks4[blk]), qp)
+                res = hr.inv4x4(d)
+                recY[y:y + 4, x:x + 4] = np.clip(
+                    preds[modes4[blk]].astype(np.int64) + res, 0,
+                    255).astype(np.uint8)
+                decoded[by0 + oy, bx0 + ox] = True
+            cpb = _pred_chroma8(recCb, cx, cy)
+            cpr = _pred_chroma8(recCr, cx, cy)
+            if cmode not in cpb:
+                raise ValueError(
+                    f"chroma mode {cmode} needs unavailable neighbors "
+                    f"at mb ({mbx},{mby})")
+            recCb[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
+                cpb[cmode], dcCb, acCb, qpc)
+            recCr[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
+                cpr[cmode], dcCr, acCr, qpc)
+            continue
         if not 1 <= mb_type <= 24:
             raise ValueError(f"invalid I-slice mb_type {mb_type}")
         # Table 7-11: mb_type-1 -> (pred_mode, cbp_chroma, cbp_luma)
@@ -509,14 +870,13 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
             cpb[cmode], dcCb, acCb, qpc)
         recCr[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
             cpr[cmode], dcCr, acCr, qpc)
+        decoded[by0:by0 + 4, bx0:bx0 + 4] = True
     h, w = sps["height"], sps["width"]
     crop_l, _, crop_t, _ = sps.get("crop", (0, 0, 0, 0))
     x0, y0 = 2 * crop_l, 2 * crop_t  # 4:2:0 crop units -> luma samples
-    return yuv420_to_rgb(recY[y0:y0 + h, x0:x0 + w],
-                         recCb[y0 // 2:(y0 + h) // 2,
-                               x0 // 2:(x0 + w) // 2],
-                         recCr[y0 // 2:(y0 + h) // 2,
-                               x0 // 2:(x0 + w) // 2])
+    return (recY[y0:y0 + h, x0:x0 + w],
+            recCb[y0 // 2:(y0 + h) // 2, x0 // 2:(x0 + w) // 2],
+            recCr[y0 // 2:(y0 + h) // 2, x0 // 2:(x0 + w) // 2])
 
 
 # ---------------------------------------------------------------------------

@@ -21,10 +21,10 @@ Decode support has three tiers:
    sample tables (sparksketch/mp4.py) to emit each sampled sync frame's
    coded bytes.  H.264 baseline-INTRA bitstreams inside those samples
    now decode for real too (sparksketch/h264.py: slice headers,
-   macroblock layer, I_PCM + Intra_16x16 with full CAVLC coefficient
-   residuals via sparksketch/h264_residual.py, ``h264_frame_features``
-   below); Intra_4x4 / inter frames / CABAC / deblocking / H.265 remain
-   the documented seam a full codec library would fill.
+   macroblock layer, I_PCM + Intra_16x16 + Intra_4x4 with full CAVLC
+   coefficient residuals via sparksketch/h264_residual.py,
+   ``h264_frame_features`` below); inter frames / CABAC / deblocking /
+   H.265 remain the documented seam a full codec library would fill.
 """
 
 from __future__ import annotations

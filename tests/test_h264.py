@@ -197,7 +197,9 @@ class TestSeamsRaiseLoudly:
         with pytest.raises(NotImplementedError, match="deblocking"):
             decode_iframe(encode_iframe(rgb), sps, pps_on)
 
-    def test_i4x4_rejected(self):
+    def test_invalid_cbp_code_rejected(self):
+        # an I_4x4 MB whose coded_block_pattern codeNum exceeds the
+        # Table 9-4 domain (47) must fail loudly
         from sparksketch.mp4 import _BitWriter
         sps, pps, _, _ = _cfg(16, 16)
         w = _BitWriter()
@@ -209,8 +211,12 @@ class TestSeamsRaiseLoudly:
         w.u(0, 2)
         w.se(0)
         w.ue(1)
-        w.ue(0)  # mb_type = 0: I_4x4
-        with pytest.raises(NotImplementedError, match="Intra_4x4"):
+        w.ue(0)          # mb_type = 0: I_4x4
+        for _ in range(16):
+            w.u(1, 1)    # all most-probable modes
+        w.ue(0)          # chroma DC
+        w.ue(48)         # coded_block_pattern codeNum out of range
+        with pytest.raises(ValueError, match="coded_block_pattern"):
             decode_iframe(bytes([0x65]) + w.rbsp(), sps, pps)
 
     def test_truncated_residual_rejected(self):
