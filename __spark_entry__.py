@@ -1345,11 +1345,15 @@ def q_multimodal_video_frame_means(spark, sf_dir):
       baseline-intra subset): genuine avc1 MP4 clips whose samples are
       IDR slices from sparksketch/h264.py; the query walks the moov
       sample tables AND decodes each sampled frame's H.264 bitstream —
-      slice header, I_PCM + predicted Intra_16x16 macroblocks, SPS frame
-      cropping (44x28 non-MB-aligned canvas) — then bound-checks channel
-      means against the analytic ramp.  ``compressed`` additionally
-      asserts the PREDICTED path engaged (stream smaller than its
-      forced-all-PCM encoding), so a PCM-only 'decoder' fails the check.
+      slice header, I_PCM + Intra_16x16 + Intra_4x4 macroblocks with
+      full CAVLC coefficient residuals, SPS frame cropping (44x28
+      non-MB-aligned canvas) — then bound-checks channel means against
+      the analytic ramp + zero-mean diagonal texture.  ``compressed``
+      additionally asserts the predicted path engaged (stream smaller
+      than its forced-all-PCM encoding) and ``i4_engaged`` asserts the
+      DECODED stream contains Intra_4x4 macroblocks (mb_type census from
+      the decoder's own parse), so a PCM-only or I16-only 'decoder'
+      fails the check.
     """
     from typing import Iterator as _It
     import pandas as _pd
@@ -1378,10 +1382,12 @@ def q_multimodal_video_frame_means(spark, sf_dir):
                             "means_ok boolean")
              .select("media_id", F.lit("mjpeg").alias("codec"),
                      "frame_idx", "ts_ms", "means_ok",
-                     F.lit(True).alias("compressed")))
+                     F.lit(True).alias("compressed"),
+                     F.lit(True).alias("i4_engaged")))
     h264 = (h264_frame_features(spark, n=32, every_ms=200)
             .select("media_id", F.lit("h264").alias("codec"),
-                    "frame_idx", "ts_ms", "means_ok", "compressed"))
+                    "frame_idx", "ts_ms", "means_ok", "compressed",
+                    "i4_engaged"))
     return mjpeg.unionByName(h264).orderBy("codec", "media_id",
                                            "frame_idx")
 
@@ -1998,14 +2004,14 @@ FROM m, yy, xx GROUP BY 1 ORDER BY 1
             "SELECT m.media_id, 'mjpeg' AS codec, "
             "CAST(f.idx AS INT) AS frame_idx, "
             "CAST(f.idx * 100 AS INT) AS ts_ms, true AS means_ok, "
-            "true AS compressed "
+            "true AS compressed, true AS i4_engaged "
             "FROM (SELECT range AS media_id FROM range(0, 64) "
             "WHERE range % 3 = 2) m, (VALUES (0), (2), (4)) f(idx) "
             "UNION ALL "
             "SELECT h.range AS media_id, 'h264' AS codec, "
             "CAST(f.idx AS INT) AS frame_idx, "
             "CAST(f.idx * 100 AS INT) AS ts_ms, true AS means_ok, "
-            "true AS compressed "
+            "true AS compressed, true AS i4_engaged "
             "FROM range(0, 32) h, (VALUES (0), (2)) f(idx)"
             ") ORDER BY codec, media_id, frame_idx",
         "multimodal_audio_features":

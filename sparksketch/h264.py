@@ -389,7 +389,6 @@ def _write_i16_residual(w: _BitWriter, ctx: _CoeffCtx, mbx: int, mby: int,
                         dcCb: np.ndarray, acCb, dcCr: np.ndarray, acCr,
                         cbp_chroma: int) -> None:
     bx0, by0 = mbx * 4, mby * 4
-    cx0, cy0 = mbx * 2, mby * 2
     # Intra16x16DCLevel: zig-zag of the (4,4) DC matrix; nC as for luma
     # block 0; its TotalCoeff does NOT enter the context grid
     hr.write_residual_block(w, hr.mat_to_scan(dcL),
@@ -424,7 +423,6 @@ def _read_i16_residual(r: _BitReader, ctx: _CoeffCtx, mbx: int, mby: int,
     """-> (dcL (4,4), acL 16x[15] | None, dcCb (2,2), acCb | None,
     dcCr, acCr)."""
     bx0, by0 = mbx * 4, mby * 4
-    cx0, cy0 = mbx * 2, mby * 2
     dc_scan, _ = hr.read_residual_block(
         r, hr.nc_from_grid(ctx.luma, bx0, by0), 16)
     dcL = hr.scan_to_mat(dc_scan)
@@ -481,7 +479,7 @@ def _read_i4_luma_residual(r: _BitReader, ctx: _CoeffCtx, mbx: int,
     """-> 16-entry list of 16-coefficient scan-order vectors (zeros for
     8x8 groups whose cbp bit is clear)."""
     bx0, by0 = mbx * 4, mby * 4
-    out = [np.zeros(16, dtype=np.int64)] * 16
+    out = [np.zeros(16, dtype=np.int64) for _ in range(16)]
     for i8 in range(4):
         if not cbp_luma & (1 << i8):
             continue
@@ -627,11 +625,30 @@ def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
                                   - rCb.astype(np.int64)).mean())
                      + float(np.abs(oCr.astype(np.int64)
                                     - rCr.astype(np.int64)).mean())) / 2.0
-            # Intra_4x4 trial: detailed MBs beat one 16x16 prediction
+            # Intra_4x4 trial: detailed MBs beat one 16x16 prediction.
+            # Mode decision is RATE-aware (JM-style J = SSD + lambda*R
+            # with lambda_mode = 0.85 * 2^((qp-12)/3) and R approximated
+            # by nonzero-coefficient and mode-signalling counts):
+            # distortion alone almost never separates the candidates,
+            # because residual coding can patch either prediction — the
+            # difference is how many bits that takes.
             modes4, blocks4, rY4, mad4 = _try_i4_mb(
                 oY, recY, yx, yy, decoded, i4modes, qp) \
                 if pcm_mad >= 0 else (None, None, None, float("inf"))
-            use_i4 = mad4 < rlmad
+            lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+            ssd16 = float(((oY.astype(np.int64)
+                            - rY.astype(np.int64)) ** 2).sum())
+            nnz16 = int(np.count_nonzero(dcL)) + sum(
+                int(np.count_nonzero(a)) for a in acL)
+            j16 = ssd16 + lam * (8 + 6 * nnz16)
+            if modes4 is not None:
+                ssd4 = float(((oY.astype(np.int64)
+                               - rY4.astype(np.int64)) ** 2).sum())
+                nnz4 = sum(int(np.count_nonzero(b)) for b in blocks4)
+                j4 = ssd4 + lam * (4 * 16 + 6 * nnz4)
+            else:
+                j4 = float("inf")
+            use_i4 = j4 < j16
             best_lmad = mad4 if use_i4 else rlmad
             bx0, by0 = mbx * 4, mby * 4
             if max(best_lmad, rcmad) <= pcm_mad:
@@ -707,12 +724,16 @@ def decode_iframe(nal: bytes, sps: dict, pps: dict) -> np.ndarray:
     return yuv420_to_rgb(Y, Cb, Cr)
 
 
-def decode_iframe_planes(nal: bytes, sps: dict, pps: dict) \
+def decode_iframe_planes(nal: bytes, sps: dict, pps: dict,
+                         stats: dict | None = None) \
         -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Like decode_iframe but returns the cropped (Y, Cb, Cr) planes —
     the bit-exact decoder output before any colorspace conversion (the
     RGB round trip clips and rounds, so codec-level tests compare
-    planes)."""
+    planes).  Pass ``stats`` (a dict) to receive the macroblock-type
+    census: keys ``i4`` / ``i16`` / ``pcm`` are incremented per decoded
+    MB — the check that a coding path ACTUALLY engaged comes from the
+    decoded stream itself, not from encoder bookkeeping."""
     if not nal:
         raise ValueError("empty NAL")
     nal_type = nal[0] & 0x1F
@@ -787,6 +808,8 @@ def decode_iframe_planes(nal: bytes, sps: dict, pps: dict) \
                 r.read_bytes(64), dtype=np.uint8).reshape(8, 8)
             ctx.mark_pcm(mbx, mby)
             decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+            if stats is not None:
+                stats["pcm"] = stats.get("pcm", 0) + 1
             continue
         if mb_type == 0:  # I_4x4 (I_NxN)
             # mb_pred: the 16 per-block mode elements, parse order
@@ -839,6 +862,8 @@ def decode_iframe_planes(nal: bytes, sps: dict, pps: dict) \
                 cpb[cmode], dcCb, acCb, qpc)
             recCr[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
                 cpr[cmode], dcCr, acCr, qpc)
+            if stats is not None:
+                stats["i4"] = stats.get("i4", 0) + 1
             continue
         if not 1 <= mb_type <= 24:
             raise ValueError(f"invalid I-slice mb_type {mb_type}")
@@ -871,6 +896,8 @@ def decode_iframe_planes(nal: bytes, sps: dict, pps: dict) \
         recCr[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
             cpr[cmode], dcCr, acCr, qpc)
         decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+        if stats is not None:
+            stats["i16"] = stats.get("i16", 0) + 1
     h, w = sps["height"], sps["width"]
     crop_l, _, crop_t, _ = sps.get("crop", (0, 0, 0, 0))
     x0, y0 = 2 * crop_l, 2 * crop_t  # 4:2:0 crop units -> luma samples

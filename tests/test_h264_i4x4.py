@@ -143,13 +143,26 @@ class TestEndToEnd:
 
     def test_i4_actually_chosen_and_smaller(self):
         # content engineered so single-direction 16x16 prediction fails
-        # but per-block 4x4 direction tracking succeeds: diagonal bands
+        # but per-block 4x4 direction tracking succeeds: diagonal bands.
+        # The decoder's own mb_type census must show Intra_4x4 MBs (the
+        # rate-aware mode decision picked them), and the stream beats
+        # the forced-PCM baseline by 2x
+        from sparksketch.h264 import decode_iframe_planes
         y, x = np.mgrid[0:32, 0:32]
-        rgb = np.stack([((x + y) * 8 % 256).astype(np.uint8)] * 3, -1)
+        # short-period diagonal sawtooth: constant along anti-diagonals
+        # (Intra_4x4 DDL territory) but with 4 wraps per MB, so the
+        # Intra_16x16 Plane mode can't fit it
+        rgb = np.stack([((x + y) * 6 % 48 + 100).astype(np.uint8)] * 3, -1)
         sps, pps = _cfg(32, 32)
-        nal = encode_iframe(rgb, pcm_mad=4.0, qp=16)
+        # qp 26: lambda_mode is large enough that the rate term
+        # separates the candidates (at low qp both recon near-exactly
+        # and the tie goes to I16)
+        nal = encode_iframe(rgb, pcm_mad=4.0, qp=26)
         raw = encode_iframe(rgb, pcm_mad=-1.0)
         assert len(nal) < len(raw) / 2
+        census = {}
+        decode_iframe_planes(nal, sps, pps, stats=census)
+        assert census.get("i4", 0) > 0, census
         out = decode_iframe(nal, sps, pps)
         assert np.abs(out.astype(int)
                       - _recon_420(rgb).astype(int)).mean() < 5.0
