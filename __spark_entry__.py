@@ -1383,11 +1383,12 @@ def q_multimodal_video_frame_means(spark, sf_dir):
              .select("media_id", F.lit("mjpeg").alias("codec"),
                      "frame_idx", "ts_ms", "means_ok",
                      F.lit(True).alias("compressed"),
-                     F.lit(True).alias("i4_engaged")))
+                     F.lit(True).alias("i4_engaged"),
+                     F.lit(True).alias("gop_ok")))
     h264 = (h264_frame_features(spark, n=32, every_ms=200)
             .select("media_id", F.lit("h264").alias("codec"),
                     "frame_idx", "ts_ms", "means_ok", "compressed",
-                    "i4_engaged"))
+                    "i4_engaged", "gop_ok"))
     return mjpeg.unionByName(h264).orderBy("codec", "media_id",
                                            "frame_idx")
 
@@ -2004,14 +2005,14 @@ FROM m, yy, xx GROUP BY 1 ORDER BY 1
             "SELECT m.media_id, 'mjpeg' AS codec, "
             "CAST(f.idx AS INT) AS frame_idx, "
             "CAST(f.idx * 100 AS INT) AS ts_ms, true AS means_ok, "
-            "true AS compressed, true AS i4_engaged "
+            "true AS compressed, true AS i4_engaged, true AS gop_ok "
             "FROM (SELECT range AS media_id FROM range(0, 64) "
             "WHERE range % 3 = 2) m, (VALUES (0), (2), (4)) f(idx) "
             "UNION ALL "
             "SELECT h.range AS media_id, 'h264' AS codec, "
             "CAST(f.idx AS INT) AS frame_idx, "
             "CAST(f.idx * 100 AS INT) AS ts_ms, true AS means_ok, "
-            "true AS compressed, true AS i4_engaged "
+            "true AS compressed, true AS i4_engaged, true AS gop_ok "
             "FROM range(0, 32) h, (VALUES (0), (2)) f(idx)"
             ") ORDER BY codec, media_id, frame_idx",
         "multimodal_audio_features":

@@ -2,9 +2,15 @@
 frame-decode layer.
 
 What this is (precisely): a conformant SUBSET of ITU-T H.264 / ISO 14496-10
-baseline profile — IDR pictures, one I slice per picture, CAVLC entropy
-mode, 4:2:0 8-bit, frame_mbs_only, macroblock types **I_PCM**,
-**Intra_16x16** and **Intra_4x4**, all with full coded residuals
+baseline profile — IDR-led GOPs of one-slice I and P pictures, CAVLC
+entropy mode, 4:2:0 8-bit, frame_mbs_only; intra macroblock types
+**I_PCM**, **Intra_16x16** and **Intra_4x4**; inter macroblock types
+**P_L0_16x16** and **P_Skip** (one reference picture, full-sample luma
+motion with spec 8.4.2.2.1 edge clamping, EXACT eighth-sample bilinear
+chroma interpolation per 8.4.2.2.2, median motion-vector prediction
+8.4.1.3, the P_Skip inference 8.4.1.1, mb_skip_run coding, and the
+Table 9-4 inter coded_block_pattern mapping) — all with full coded
+residuals
 (CodedBlockPattern via Table 7-11 / the Table 9-4 me(v) mapping —
 quantized 4x4 transform coefficients through the complete CAVLC layer:
 coeff_token Table 9-5 incl. the chroma-DC column and the nC>=8 FLC,
@@ -33,8 +39,9 @@ neighbors counting 16 per spec 9.2.1), Intra_4x4 most-probable-mode
 signalling (8.3.1.1) with decode-order sample availability, per-MB QP
 tracking via mb_qp_delta, and the chroma QP mapping of Table 8-15.
 Anything OUTSIDE the subset raises NotImplementedError naming the
-feature: the remaining seam is inter prediction, CABAC, and the loop
-filter.
+feature: the remaining seam is fractional-sample luma motion (the
+6-tap filter), sub-16x16 partitions, multiple references, B slices,
+CABAC, and the loop filter.
 
 Why a per-macroblock Python loop is acceptable here: fixture media frames
 are tiny (a few dozen macroblocks) and the codec runs INSIDE mapInPandas —
@@ -362,6 +369,124 @@ _CBP_INTRA = (47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
               17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
 _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
 assert len(_CBP_INTRA_INV) == 48  # the table must be a permutation
+
+# Table 9-4, column Inter: codeNum -> cbp (P/B macroblocks)
+_CBP_INTER = (0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13, 14,
+              6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46, 17,
+              18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+assert len(_CBP_INTER_INV) == 48
+
+
+# ---------------------------------------------------------------------------
+# inter prediction (spec 8.4) — P_L0_16x16 + P_Skip subset: full-sample
+# luma motion compensation (fractional luma positions are the documented
+# seam), EXACT eighth-sample bilinear chroma interpolation (8.4.2.2.2),
+# median motion-vector prediction (8.4.1.3) and the P_Skip inference
+# (8.4.1.1).  Motion vectors are stored in quarter-luma-sample units,
+# one per MB (16x16 partitions only).
+# ---------------------------------------------------------------------------
+
+def _mc_luma(ref: np.ndarray, x0: int, y0: int, mv: tuple[int, int]) \
+        -> np.ndarray:
+    """16x16 luma prediction at (x0, y0) displaced by ``mv`` (quarter
+    units).  Reference coordinates are clamped to the picture (spec
+    8.4.2.2.1 edge clip); fractional luma positions (the 6-tap
+    half-sample filter) are outside the subset."""
+    if mv[0] & 3 or mv[1] & 3:
+        raise NotImplementedError(
+            "fractional luma motion (6-tap half-sample filter) is the "
+            "documented seam — this subset uses full-sample luma MVs")
+    h, w = ref.shape
+    ys = np.clip(np.arange(y0 + (mv[1] >> 2), y0 + (mv[1] >> 2) + 16),
+                 0, h - 1)
+    xs = np.clip(np.arange(x0 + (mv[0] >> 2), x0 + (mv[0] >> 2) + 16),
+                 0, w - 1)
+    return ref[np.ix_(ys, xs)]
+
+
+def _mc_chroma(ref: np.ndarray, cx0: int, cy0: int,
+               mv: tuple[int, int]) -> np.ndarray:
+    """8x8 chroma prediction (4:2:0): the luma quarter-sample mv is an
+    EIGHTH-chroma-sample displacement; bilinear per spec 8.4.2.2.2 with
+    edge-clamped integer positions."""
+    h, w = ref.shape
+    xi, xf = mv[0] >> 3, mv[0] & 7
+    yi, yf = mv[1] >> 3, mv[1] & 7
+    ys = np.clip(np.arange(cy0 + yi, cy0 + yi + 9), 0, h - 1)
+    xs = np.clip(np.arange(cx0 + xi, cx0 + xi + 9), 0, w - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    a = win[:8, :8]
+    b = win[:8, 1:]
+    c = win[1:, :8]
+    d = win[1:, 1:]
+    return (((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+             + (8 - xf) * yf * c + xf * yf * d + 32) >> 6).astype(np.uint8)
+
+
+def _neighbor_mvs(mvs: np.ndarray, inter: np.ndarray, mbx: int, mby: int):
+    """(mvA, availA), (mvB, availB), (mvC, availC) for the 16x16 MV
+    prediction — availN means 'available AND inter-coded' (an intra or
+    out-of-picture neighbor predicts with mv 0 and no ref match, spec
+    8.4.1.3.2); C falls back to D (up-left) when up-right is outside."""
+    mbs_h, mbs_w = inter.shape
+
+    def get(x, y):
+        if 0 <= x < mbs_w and 0 <= y < mbs_h:
+            return (int(mvs[y, x, 0]), int(mvs[y, x, 1])), \
+                bool(inter[y, x]), True
+        return (0, 0), False, False
+
+    a, a_inter, a_in = get(mbx - 1, mby)
+    b, b_inter, b_in = get(mbx, mby - 1)
+    if mbx + 1 < mbs_w and mby - 1 >= 0:
+        c, c_inter, c_in = get(mbx + 1, mby - 1)
+    else:
+        c, c_inter, c_in = get(mbx - 1, mby - 1)
+    return (a, a_inter, a_in), (b, b_inter, b_in), (c, c_inter, c_in)
+
+
+def _mv_pred_16x16(mvs: np.ndarray, inter: np.ndarray, mbx: int,
+                   mby: int) -> tuple[int, int]:
+    """Median MV predictor (spec 8.4.1.3) for a P_L0_16x16 partition
+    with one reference picture."""
+    (a, ai, a_in), (b, bi, b_in), (c, ci, c_in) = \
+        _neighbor_mvs(mvs, inter, mbx, mby)
+    if not b_in and not c_in and a_in:
+        return a  # 8.4.1.3.1: only the left neighbor is in the picture
+    matches = [mv for mv, is_inter in ((a, ai), (b, bi), (c, ci))
+               if is_inter]
+    if len(matches) == 1:  # exactly one neighbor references this picture
+        return matches[0]
+    ax, ay = a if ai else (0, 0)
+    bx, by_ = b if bi else (0, 0)
+    cx, cy_ = c if ci else (0, 0)
+    return (int(np.median([ax, bx, cx])), int(np.median([ay, by_, cy_])))
+
+
+def _recon_luma_blocks4(pred: np.ndarray, blocks, qp: int) -> np.ndarray:
+    """Reconstruct a 16x16 luma MB from a prediction plus 16 plain
+    4x4 residual blocks (16 coefficients each, LUMA_BLOCK_ORDER) — the
+    inter / Intra_4x4 residual layout (no separate DC transform)."""
+    out = np.empty((16, 16), dtype=np.uint8)
+    pred = np.asarray(pred, dtype=np.int64)
+    for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+        x, y = ox * 4, oy * 4
+        res = hr.inv4x4(hr.dequant4x4_ac(hr.scan_to_mat(blocks[blk]), qp))
+        out[y:y + 4, x:x + 4] = np.clip(
+            pred[y:y + 4, x:x + 4] + res, 0, 255).astype(np.uint8)
+    return out
+
+
+def _skip_mv(mvs: np.ndarray, inter: np.ndarray, mbx: int, mby: int) \
+        -> tuple[int, int]:
+    """P_Skip motion inference (spec 8.4.1.1)."""
+    (a, ai, a_in), (b, bi, b_in), _ = _neighbor_mvs(mvs, inter, mbx, mby)
+    if not a_in or not b_in:
+        return (0, 0)
+    if (ai and a == (0, 0)) or (bi and b == (0, 0)):
+        return (0, 0)
+    return _mv_pred_16x16(mvs, inter, mbx, mby)
 
 
 # ---------------------------------------------------------------------------
@@ -710,6 +835,298 @@ def encode_iframe(rgb: np.ndarray, pcm_mad: float = 4.0,
     return bytes([0x65]) + w.rbsp()
 
 
+def _try_i16_in_p(oY, oCb, oCr, recY, recCb, recCr, yx, yy, cx, cy,
+                  qp: int, qpc: int) -> dict | None:
+    """Build the Intra_16x16 candidate for one MB of a P slice: best
+    available predictions, quantized residual, reconstruction, recon
+    MAD and the J = SSD + lambda*R cost.  None when no luma prediction
+    is available (cannot happen for in-picture MBs — DC always is)."""
+    oY64 = oY.astype(np.int64)
+    lp = _pred_luma16(recY, yx, yy)
+    if not lp:
+        return None
+    lmode, lpred, _ = min(
+        ((m, p, float(np.abs(oY64 - p.astype(np.int64)).mean()))
+         for m, p in lp.items()), key=lambda t: (t[2], t[0]))
+    cpb = _pred_chroma8(recCb, cx, cy)
+    cpr = _pred_chroma8(recCr, cx, cy)
+    cmode = min(cpb, key=lambda m: (
+        float(np.abs(oCb.astype(np.int64)
+                     - cpb[m].astype(np.int64)).mean())
+        + float(np.abs(oCr.astype(np.int64)
+                       - cpr[m].astype(np.int64)).mean()), m))
+    dcL, acL = hr.transform_quant_luma16(oY, lpred, qp)
+    cbp_l = 15 if any(a.any() for a in acL) else 0
+    dcCb, acCb = hr.transform_quant_chroma8(oCb, cpb[cmode], qpc)
+    dcCr, acCr = hr.transform_quant_chroma8(oCr, cpr[cmode], qpc)
+    if any(a.any() for a in acCb) or any(a.any() for a in acCr):
+        cbp_c = 2
+    elif dcCb.any() or dcCr.any():
+        cbp_c = 1
+    else:
+        cbp_c = 0
+    rY = hr.recon_luma16(lpred, dcL, acL if cbp_l else None, qp)
+    rCb = hr.recon_chroma8(
+        cpb[cmode], dcCb if cbp_c else np.zeros((2, 2), np.int64),
+        acCb if cbp_c == 2 else None, qpc)
+    rCr = hr.recon_chroma8(
+        cpr[cmode], dcCr if cbp_c else np.zeros((2, 2), np.int64),
+        acCr if cbp_c == 2 else None, qpc)
+    mad = max(
+        float(np.abs(oY64 - rY.astype(np.int64)).mean()),
+        (float(np.abs(oCb.astype(np.int64) - rCb.astype(np.int64)).mean())
+         + float(np.abs(oCr.astype(np.int64)
+                        - rCr.astype(np.int64)).mean())) / 2.0)
+    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    nnz = int(np.count_nonzero(dcL)) \
+        + sum(int(np.count_nonzero(a)) for a in acL) \
+        + int(np.count_nonzero(dcCb)) + int(np.count_nonzero(dcCr)) \
+        + sum(int(np.count_nonzero(a)) for a in acCb) \
+        + sum(int(np.count_nonzero(a)) for a in acCr)
+    j = float(((oY64 - rY.astype(np.int64)) ** 2).sum()) \
+        + lam * (12 + 6 * nnz)
+    return {"lmode": lmode, "cmode": cmode, "cbp_l": cbp_l,
+            "cbp_c": cbp_c, "dcL": dcL, "acL": acL, "dcCb": dcCb,
+            "acCb": acCb, "dcCr": dcCr, "acCr": acCr, "rY": rY,
+            "rCb": rCb, "rCr": rCr, "mad": mad, "j": j}
+
+
+def _emit_i16_in_p(w: _BitWriter, ctx: _CoeffCtx, mbx: int, mby: int,
+                   cand: dict) -> None:
+    """Write one Intra_16x16 MB inside a P slice (Table 7-13: the
+    I-slice mb_type shifted by 5)."""
+    w.ue(5 + 1 + cand["lmode"] + 4 * cand["cbp_c"]
+         + (12 if cand["cbp_l"] else 0))
+    w.ue(cand["cmode"])
+    w.se(0)  # mb_qp_delta
+    _write_i16_residual(w, ctx, mbx, mby, cand["dcL"], cand["acL"],
+                        cand["cbp_l"], cand["dcCb"], cand["acCb"],
+                        cand["dcCr"], cand["acCr"], cand["cbp_c"])
+
+
+def encode_pframe(rgb: np.ndarray,
+                  ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                  qp: int = 26, pcm_mad: float = 4.0, frame_num: int = 1,
+                  search: int = 8) -> bytes:
+    """Encode one RGB frame as a P slice NAL (header byte 0x61) against
+    ``ref`` — the UNCROPPED reconstructed planes of the previous frame
+    (use :func:`encode_gop` to thread them automatically).
+
+    Per MB, in candidate order: P_Skip / P_L0_16x16 with a full-sample
+    motion search (+-``search`` integer positions around the rounded
+    median predictor, SAD objective, P_Skip emitted when the chosen MV
+    equals the 8.4.1.1 inference and every quantized coefficient is
+    zero); Intra_16x16 fallback when motion compensation misses
+    ``pcm_mad``; lossless I_PCM as the last resort.  Intra_4x4 inside P
+    slices is decoder-only.  The encoder reconstructs through the
+    decoder's own functions, so decode keeps the bit-identity
+    contract."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_pframe expects (h, w, 3) RGB")
+    if not 0 <= qp <= 51:
+        raise ValueError(f"qp must be in [0, 51], got {qp}")
+    Y, Cb, Cr = rgb_to_yuv420(rgb)
+    Y, Cb, Cr = _pad_mb(Y, 16), _pad_mb(Cb, 8), _pad_mb(Cr, 8)
+    refY, refCb, refCr = ref
+    if refY.shape != Y.shape:
+        raise ValueError(
+            f"reference luma {refY.shape} != frame luma {Y.shape}")
+    mbs_h, mbs_w = Y.shape[0] // 16, Y.shape[1] // 16
+    recY = np.zeros_like(Y)
+    recCb = np.zeros_like(Cb)
+    recCr = np.zeros_like(Cr)
+    ctx = _CoeffCtx(mbs_w, mbs_h)
+    decoded = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+    i4modes = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
+    mvs = np.zeros((mbs_h, mbs_w, 2), dtype=np.int32)
+    inter_flag = np.zeros((mbs_h, mbs_w), dtype=bool)
+    qpc = hr.chroma_qp(qp, 0)
+    refY64 = refY.astype(np.int64)
+
+    w = _BitWriter()
+    w.ue(0)                      # first_mb_in_slice
+    w.ue(5)                      # slice_type: P (all slices)
+    w.ue(0)                      # pic_parameter_set_id
+    w.u(frame_num % 256, 8)      # frame_num
+    w.u((2 * frame_num) % 256, 8)  # pic_order_cnt_lsb
+    w.u(0, 1)                    # num_ref_idx_active_override_flag
+    w.u(0, 1)                    # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                    # adaptive_ref_pic_marking_mode_flag
+    w.se(qp - 26)                # slice_qp_delta
+    w.ue(1)                      # disable_deblocking_filter_idc
+
+    pending_skip = 0
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            yx, yy = mbx * 16, mby * 16
+            cx, cy = mbx * 8, mby * 8
+            bx0, by0 = mbx * 4, mby * 4
+            oY = Y[yy:yy + 16, yx:yx + 16]
+            oCb = Cb[cy:cy + 8, cx:cx + 8]
+            oCr = Cr[cy:cy + 8, cx:cx + 8]
+            skipmv = _skip_mv(mvs, inter_flag, mbx, mby)
+            mvp = _mv_pred_16x16(mvs, inter_flag, mbx, mby)
+            # full-sample diamond-less exhaustive search around the
+            # rounded predictor; the skip inference and (0,0) are always
+            # candidates so P_Skip stays reachable
+            c0x, c0y = (mvp[0] + 2) >> 2, (mvp[1] + 2) >> 2
+            oY64 = oY.astype(np.int64)
+            best = None
+            seen = set()
+            cands = [(skipmv[0] >> 2, skipmv[1] >> 2), (0, 0)] + [
+                (c0x + dx, c0y + dy)
+                for dy in range(-search, search + 1)
+                for dx in range(-search, search + 1)]
+            for dx, dy in cands:
+                if (dx, dy) in seen:
+                    continue
+                seen.add((dx, dy))
+                sad = int(np.abs(
+                    oY64 - _mc_luma(refY64, yx, yy,
+                                    (4 * dx, 4 * dy))).sum())
+                if best is None or sad < best[0]:
+                    best = (sad, (4 * dx, 4 * dy))
+            mv = best[1]
+            predY = _mc_luma(refY, yx, yy, mv)
+            blocks4 = []
+            predY64 = predY.astype(np.int64)
+            for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+                res = oY64[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4] \
+                    - predY64[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4]
+                blocks4.append(hr.mat_to_scan(
+                    hr.quant4x4(hr.fwd4x4(res), qp)))
+            cbp_luma4 = 0
+            for i8 in range(4):
+                if any(blocks4[i8 * 4 + i4].any() for i4 in range(4)):
+                    cbp_luma4 |= 1 << i8
+            predCb = _mc_chroma(refCb, cx, cy, mv)
+            predCr = _mc_chroma(refCr, cx, cy, mv)
+            dcCb, acCb = hr.transform_quant_chroma8(oCb, predCb, qpc)
+            dcCr, acCr = hr.transform_quant_chroma8(oCr, predCr, qpc)
+            if any(a.any() for a in acCb) or any(a.any() for a in acCr):
+                cbp_chroma = 2
+            elif dcCb.any() or dcCr.any():
+                cbp_chroma = 1
+            else:
+                cbp_chroma = 0
+            cbp = cbp_luma4 | (cbp_chroma << 4)
+            zero_l = [np.zeros(16, dtype=np.int64)] * 16
+            rY = _recon_luma_blocks4(
+                predY, blocks4 if cbp_luma4 else zero_l, qp)
+            rCb = hr.recon_chroma8(
+                predCb, dcCb if cbp_chroma else np.zeros((2, 2), np.int64),
+                acCb if cbp_chroma == 2 else None, qpc)
+            rCr = hr.recon_chroma8(
+                predCr, dcCr if cbp_chroma else np.zeros((2, 2), np.int64),
+                acCr if cbp_chroma == 2 else None, qpc)
+            imad = max(
+                float(np.abs(oY64 - rY.astype(np.int64)).mean()),
+                (float(np.abs(oCb.astype(np.int64)
+                              - rCb.astype(np.int64)).mean())
+                 + float(np.abs(oCr.astype(np.int64)
+                                - rCr.astype(np.int64)).mean())) / 2.0)
+            # rate-aware inter-vs-intra choice (same J = SSD + lambda*R
+            # shape as the I-slice mode decision): across a scene cut
+            # motion compensation can still PATCH any MB with a huge
+            # residual, so distortion alone would never pick intra —
+            # the bit cost is what separates them
+            lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+            nnz_p = sum(int(np.count_nonzero(b)) for b in blocks4) \
+                + int(np.count_nonzero(dcCb)) + int(np.count_nonzero(dcCr)) \
+                + sum(int(np.count_nonzero(a)) for a in acCb) \
+                + sum(int(np.count_nonzero(a)) for a in acCr)
+            ssd_p = float(((oY64 - rY.astype(np.int64)) ** 2).sum())
+            j_inter = ssd_p + lam * (10 + abs(mv[0] - mvp[0])
+                                     + abs(mv[1] - mvp[1]) + 6 * nnz_p)
+            i16 = _try_i16_in_p(oY, oCb, oCr, recY, recCb, recCr,
+                                yx, yy, cx, cy, qp, qpc)
+            if i16 is not None and pcm_mad >= 0 \
+                    and i16["j"] < j_inter and i16["mad"] <= pcm_mad:
+                w.ue(pending_skip)
+                pending_skip = 0
+                _emit_i16_in_p(w, ctx, mbx, mby, i16)
+                recY[yy:yy + 16, yx:yx + 16] = i16["rY"]
+                recCb[cy:cy + 8, cx:cx + 8] = i16["rCb"]
+                recCr[cy:cy + 8, cx:cx + 8] = i16["rCr"]
+                decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+                continue
+            if pcm_mad >= 0 and imad <= pcm_mad:
+                if mv == skipmv and cbp == 0:
+                    pending_skip += 1        # P_Skip
+                else:
+                    w.ue(pending_skip)       # mb_skip_run
+                    pending_skip = 0
+                    w.ue(0)                  # mb_type: P_L0_16x16
+                    w.se(mv[0] - mvp[0])     # mvd_l0 x
+                    w.se(mv[1] - mvp[1])     # mvd_l0 y
+                    w.ue(_CBP_INTER_INV[cbp])
+                    if cbp:
+                        w.se(0)              # mb_qp_delta
+                        _write_i4_luma_residual(w, ctx, mbx, mby,
+                                                blocks4, cbp_luma4)
+                        _write_chroma_residual(w, ctx, mbx, mby, dcCb,
+                                               acCb, dcCr, acCr,
+                                               cbp_chroma)
+                recY[yy:yy + 16, yx:yx + 16] = rY
+                recCb[cy:cy + 8, cx:cx + 8] = rCb
+                recCr[cy:cy + 8, cx:cx + 8] = rCr
+                mvs[mby, mbx] = mv
+                inter_flag[mby, mbx] = True
+                decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+                continue
+            # Intra_16x16 fallback inside the P slice (motion missed)
+            i16f = _try_i16_in_p(oY, oCb, oCr, recY, recCb, recCr,
+                                 yx, yy, cx, cy, qp, qpc)
+            w.ue(pending_skip)
+            pending_skip = 0
+            if i16f is not None and pcm_mad >= 0 \
+                    and i16f["mad"] <= pcm_mad:
+                _emit_i16_in_p(w, ctx, mbx, mby, i16f)
+                recY[yy:yy + 16, yx:yx + 16] = i16f["rY"]
+                recCb[cy:cy + 8, cx:cx + 8] = i16f["rCb"]
+                recCr[cy:cy + 8, cx:cx + 8] = i16f["rCr"]
+            else:
+                w.ue(30)                     # I_PCM in a P slice
+                w.align()
+                w.bytes_(oY.tobytes())
+                w.bytes_(oCb.tobytes())
+                w.bytes_(oCr.tobytes())
+                ctx.mark_pcm(mbx, mby)
+                recY[yy:yy + 16, yx:yx + 16] = oY
+                recCb[cy:cy + 8, cx:cx + 8] = oCb
+                recCr[cy:cy + 8, cx:cx + 8] = oCr
+            decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+    if pending_skip:
+        w.ue(pending_skip)  # trailing skipped MBs close the slice
+    return bytes([0x61]) + w.rbsp()
+
+
+def encode_gop(frames, qp: int = 26, pcm_mad: float = 4.0,
+               search: int = 8) -> list[bytes]:
+    """Encode frames as an IDR-led GOP: frame 0 via encode_iframe, the
+    rest as P slices, threading each frame's DECODED reconstruction as
+    the next reference (the decoder's planes ARE the encoder's by the
+    bit-identity contract, so this doubles as a self-check).  Needs the
+    matching SPS/PPS fixed choices (mp4.encode_sps / encode_pps(True))
+    only at decode time — the reference here is reconstructed with a
+    synthetic uncropped geometry."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("no frames")
+    h, w_, _ = frames[0].shape
+    from .mp4 import encode_pps, encode_sps, parse_pps, parse_sps
+    sps = parse_sps(encode_sps(w_, h, fps=10.0))
+    pps = parse_pps(encode_pps(deblocking_control=True))
+    out = [encode_iframe(frames[0], pcm_mad=pcm_mad, qp=qp)]
+    ref = _decode_slice(out[0], sps, pps, None)
+    for i, fr in enumerate(frames[1:], start=1):
+        nal = encode_pframe(fr, ref, qp=qp, pcm_mad=pcm_mad,
+                            frame_num=i, search=search)
+        out.append(nal)
+        ref = _decode_slice(nal, sps, pps, ref)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -731,9 +1148,51 @@ def decode_iframe_planes(nal: bytes, sps: dict, pps: dict,
     the bit-exact decoder output before any colorspace conversion (the
     RGB round trip clips and rounds, so codec-level tests compare
     planes).  Pass ``stats`` (a dict) to receive the macroblock-type
-    census: keys ``i4`` / ``i16`` / ``pcm`` are incremented per decoded
-    MB — the check that a coding path ACTUALLY engaged comes from the
-    decoded stream itself, not from encoder bookkeeping."""
+    census: keys ``i4`` / ``i16`` / ``pcm`` (and for P slices ``p16`` /
+    ``skip``) are incremented per decoded MB — the check that a coding
+    path ACTUALLY engaged comes from the decoded stream itself, not from
+    encoder bookkeeping."""
+    return _crop_planes(_decode_slice(nal, sps, pps, None, stats), sps)
+
+
+def decode_pframe_planes(nal: bytes, sps: dict, pps: dict,
+                         ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                         stats: dict | None = None) \
+        -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one P slice NAL against ``ref`` — the UNCROPPED (Y, Cb,
+    Cr) reconstruction of the reference picture (what ``decode_gop``
+    threads between frames; motion compensation reaches the padding
+    rows SPS cropping would remove).  Returns cropped planes."""
+    return _crop_planes(_decode_slice(nal, sps, pps, ref, stats), sps)
+
+
+def decode_gop(nals: list[bytes], sps: dict, pps: dict,
+               stats: dict | None = None) -> list[np.ndarray]:
+    """Decode an IDR-led group of pictures (I/P slice NALs, decode
+    order) to a list of (h, w, 3) RGB frames, threading each decoded
+    picture as the next one's reference."""
+    out = []
+    ref = None
+    for nal in nals:
+        planes = _decode_slice(nal, sps, pps, ref, stats)
+        ref = planes
+        out.append(yuv420_to_rgb(*_crop_planes(planes, sps)))
+    return out
+
+
+def _crop_planes(planes, sps: dict):
+    recY, recCb, recCr = planes
+    h, w = sps["height"], sps["width"]
+    crop_l, _, crop_t, _ = sps.get("crop", (0, 0, 0, 0))
+    x0, y0 = 2 * crop_l, 2 * crop_t  # 4:2:0 crop units -> luma samples
+    return (recY[y0:y0 + h, x0:x0 + w],
+            recCb[y0 // 2:(y0 + h) // 2, x0 // 2:(x0 + w) // 2],
+            recCr[y0 // 2:(y0 + h) // 2, x0 // 2:(x0 + w) // 2])
+
+
+def _decode_slice(nal: bytes, sps: dict, pps: dict,
+                  ref: tuple | None, stats: dict | None = None):
+    """Decode one I or P slice to UNCROPPED (Y, Cb, Cr) planes."""
     if not nal:
         raise ValueError("empty NAL")
     nal_type = nal[0] & 0x1F
@@ -745,9 +1204,12 @@ def decode_iframe_planes(nal: bytes, sps: dict, pps: dict,
     if r.ue() != 0:
         raise NotImplementedError("multi-slice pictures unsupported")
     slice_type = r.ue()
-    if slice_type % 5 != 2:  # 2/7 = I
+    is_p = slice_type % 5 == 0
+    if slice_type % 5 not in (0, 2):  # 2/7 = I, 0/5 = P
         raise NotImplementedError(
-            f"only I slices supported (slice_type {slice_type})")
+            f"only I and P slices supported (slice_type {slice_type})")
+    if is_p and ref is None:
+        raise ValueError("P slice needs a reference picture")
     r.ue()  # pic_parameter_set_id
     r.u(sps["log2_max_frame_num"])  # frame_num
     if not sps.get("frame_mbs_only", 1):
@@ -761,6 +1223,16 @@ def decode_iframe_planes(nal: bytes, sps: dict, pps: dict,
             r.se()
     if pps.get("redundant_pic_cnt_present"):
         r.ue()
+    if is_p:
+        if r.u(1):  # num_ref_idx_active_override_flag
+            if r.ue() != 0:  # num_ref_idx_l0_active_minus1
+                raise NotImplementedError(
+                    "multiple reference pictures unsupported")
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError(
+                "reference list modification unsupported")
+        if pps.get("weighted_pred"):
+            raise NotImplementedError("weighted prediction unsupported")
     nal_ref_idc = (nal[0] >> 5) & 3
     if nal_ref_idc:  # dec_ref_pic_marking
         if idr:
@@ -792,12 +1264,79 @@ def decode_iframe_planes(nal: bytes, sps: dict, pps: dict,
     decoded = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
     i4modes = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
     qp_offset = pps.get("chroma_qp_index_offset", 0)
-    for addr in range(mbs_w * mbs_h):
+    if is_p:
+        refY, refCb, refCr = ref
+        mvs = np.zeros((mbs_h, mbs_w, 2), dtype=np.int32)
+        inter_flag = np.zeros((mbs_h, mbs_w), dtype=bool)
+
+    def _bump(key):
+        if stats is not None:
+            stats[key] = stats.get(key, 0) + 1
+
+    n_mbs = mbs_w * mbs_h
+    addr = 0
+    while addr < n_mbs:
+        if is_p:
+            run = r.ue()
+            if addr + run > n_mbs:
+                raise ValueError("mb_skip_run overruns the slice")
+            for _ in range(run):  # P_Skip MBs (spec 8.4.1.1 inference)
+                mby, mbx = divmod(addr, mbs_w)
+                addr += 1
+                yx, yy = mbx * 16, mby * 16
+                cx, cy = mbx * 8, mby * 8
+                bx0, by0 = mbx * 4, mby * 4
+                mv = _skip_mv(mvs, inter_flag, mbx, mby)
+                recY[yy:yy + 16, yx:yx + 16] = _mc_luma(refY, yx, yy, mv)
+                recCb[cy:cy + 8, cx:cx + 8] = _mc_chroma(refCb, cx, cy, mv)
+                recCr[cy:cy + 8, cx:cx + 8] = _mc_chroma(refCr, cx, cy, mv)
+                mvs[mby, mbx] = mv
+                inter_flag[mby, mbx] = True
+                decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+                _bump("skip")
+            if addr >= n_mbs:
+                break
         mby, mbx = divmod(addr, mbs_w)
+        addr += 1
         yx, yy = mbx * 16, mby * 16
         cx, cy = mbx * 8, mby * 8
         bx0, by0 = mbx * 4, mby * 4
         mb_type = r.ue()
+        if is_p:
+            if mb_type < 5:  # inter MB (Table 7-13)
+                if mb_type != 0:
+                    raise NotImplementedError(
+                        "P partitions other than 16x16 (P_16x8 / P_8x16 "
+                        "/ P_8x8) unsupported")
+                mvp = _mv_pred_16x16(mvs, inter_flag, mbx, mby)
+                mvd = (r.se(), r.se())
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                code_num = r.ue()
+                if code_num > 47:
+                    raise ValueError(
+                        f"invalid coded_block_pattern {code_num}")
+                cbp = _CBP_INTER[code_num]
+                cbp_luma4, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp:
+                    qp = (qp + r.se() + 52) % 52
+                qpc = hr.chroma_qp(qp, qp_offset)
+                blocks4 = _read_i4_luma_residual(r, ctx, mbx, mby,
+                                                 cbp_luma4)
+                dcCb, acCb, dcCr, acCr = _read_chroma_residual(
+                    r, ctx, mbx, mby, cbp_chroma)
+                predY = _mc_luma(refY, yx, yy, mv)
+                recY[yy:yy + 16, yx:yx + 16] = _recon_luma_blocks4(
+                    predY, blocks4, qp)
+                recCb[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
+                    _mc_chroma(refCb, cx, cy, mv), dcCb, acCb, qpc)
+                recCr[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
+                    _mc_chroma(refCr, cx, cy, mv), dcCr, acCr, qpc)
+                mvs[mby, mbx] = mv
+                inter_flag[mby, mbx] = True
+                decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+                _bump("p16")
+                continue
+            mb_type -= 5  # intra MB in a P slice (Table 7-13 offset)
         if mb_type == 25:  # I_PCM
             r.align()
             recY[yy:yy + 16, yx:yx + 16] = np.frombuffer(
@@ -898,12 +1437,7 @@ def decode_iframe_planes(nal: bytes, sps: dict, pps: dict,
         decoded[by0:by0 + 4, bx0:bx0 + 4] = True
         if stats is not None:
             stats["i16"] = stats.get("i16", 0) + 1
-    h, w = sps["height"], sps["width"]
-    crop_l, _, crop_t, _ = sps.get("crop", (0, 0, 0, 0))
-    x0, y0 = 2 * crop_l, 2 * crop_t  # 4:2:0 crop units -> luma samples
-    return (recY[y0:y0 + h, x0:x0 + w],
-            recCb[y0 // 2:(y0 + h) // 2, x0 // 2:(x0 + w) // 2],
-            recCr[y0 // 2:(y0 + h) // 2, x0 // 2:(x0 + w) // 2])
+    return recY, recCb, recCr
 
 
 # ---------------------------------------------------------------------------

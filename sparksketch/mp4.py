@@ -396,9 +396,9 @@ def parse_pps(nal: bytes) -> dict:
            "num_slice_groups": r.ue() + 1}
     if out["num_slice_groups"] != 1:
         raise NotImplementedError("slice groups (FMO) unsupported")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    out["num_ref_idx_l0_default"] = r.ue() + 1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.u(1)  # weighted_pred_flag
+    out["weighted_pred"] = r.u(1)
     r.u(2)  # weighted_bipred_idc
     out["pic_init_qp"] = 26 + r.se()
     r.se()  # pic_init_qs_minus26

@@ -23,7 +23,9 @@ Decode support has three tiers:
    now decode for real too (sparksketch/h264.py: slice headers,
    macroblock layer, I_PCM + Intra_16x16 + Intra_4x4 with full CAVLC
    coefficient residuals via sparksketch/h264_residual.py,
-   ``h264_frame_features`` below); inter frames / CABAC / deblocking /
+   ``h264_frame_features`` below, plus P slices: P_L0_16x16 + P_Skip
+   motion compensation so IDR-led GOPs decode end-to-end); fractional
+   luma motion / sub-16x16 partitions / B slices / CABAC / deblocking /
    H.265 remain the documented seam a full codec library would fill.
 """
 
@@ -539,8 +541,8 @@ def h264_frame_features(spark, n: int = 32, every_ms: int = 200,
     true_w, true_h, n_frames = 44, 28, 4
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .h264 import avc_sample, encode_iframe, yuv420_to_rgb
-        from .h264 import decode_iframe_planes
+        from .h264 import (avc_sample, decode_gop, decode_iframe_planes,
+                           encode_gop, encode_iframe, yuv420_to_rgb)
         from .mp4 import build_mp4, mp4_frame_plan, parse_avcc, parse_mp4
         from .mp4 import parse_pps, parse_sps
         y = np.arange(true_h)[:, None, None]
@@ -566,6 +568,22 @@ def h264_frame_features(spark, n: int = 32, every_ms: int = 200,
                 avcc = parse_avcc(parse_mp4(blob)["tracks"][0]["avcc_raw"])
                 sps = parse_sps(avcc["sps"][0])
                 pps = parse_pps(avcc["pps"][0])
+                # inter tier: the same clip as an IDR-led GOP (frame 0 I,
+                # rest P slices off the previous reconstruction).  The
+                # GOP must beat the all-intra encoding (temporal
+                # prediction engages — this ramp translates in intensity
+                # so P residuals are cheap), and every decoded frame
+                # must stay inside the same channel-mean bound.
+                gop = encode_gop(frames_rgb, qp=26, pcm_mad=3.0)
+                gop_frames = decode_gop(gop, sps, pps)
+                gop_ok = (sum(len(n) for n in gop)
+                          < sum(len(s) for s in samples))
+                for f, fr_px in enumerate(gop_frames):
+                    want = (mid % 16 + f * 6) + 24 + 13.5 + 21.5 + t_mean
+                    gop_ok = gop_ok and all(
+                        abs(fr_px[..., ch].astype(np.float64).mean()
+                            - (want + 40 * ch)) <= 2.5
+                        for ch in range(3))
                 for idx, ts, off, size in mp4_frame_plan(blob, every_ms):
                     sample = blob[off:off + size]
                     nal = sample[avcc["nal_length_size"]:]
@@ -577,14 +595,14 @@ def h264_frame_features(spark, n: int = 32, every_ms: int = 200,
                     ok = all(abs(px[..., ch].mean() - (want + 40 * ch))
                              <= 2.5 for ch in range(3))
                     rows.append((mid, idx, ts, bool(ok), bool(compressed),
-                                 census.get("i4", 0) > 0))
+                                 census.get("i4", 0) > 0, bool(gop_ok)))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_idx", "ts_ms", "means_ok", "compressed",
-                "i4_engaged"])
+                "i4_engaged", "gop_ok"])
 
     return base.mapInPandas(gen, schema=(
         "media_id long, frame_idx int, ts_ms int, means_ok boolean, "
-        "compressed boolean, i4_engaged boolean"))
+        "compressed boolean, i4_engaged boolean, gop_ok boolean"))
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 200,

@@ -1,0 +1,229 @@
+"""P-slice tests (sparksketch/h264.py inter subset: P_L0_16x16 + P_Skip,
+full-sample luma MC, eighth-sample bilinear chroma MC, median MV
+prediction, mb_skip_run, Table 9-4 inter cbp mapping).
+"""
+import numpy as np
+import pytest
+
+from sparksketch.h264 import (_CBP_INTER, _CBP_INTER_INV, _mc_chroma,
+                              _mc_luma, _mv_pred_16x16, _skip_mv,
+                              decode_gop, decode_pframe_planes, encode_gop,
+                              encode_iframe, encode_pframe,
+                              rgb_to_yuv420, yuv420_to_rgb, _decode_slice)
+from sparksketch.mp4 import encode_pps, encode_sps, parse_pps, parse_sps
+
+
+def _cfg(w, h):
+    return (parse_sps(encode_sps(w, h, fps=10.0)),
+            parse_pps(encode_pps(deblocking_control=True)))
+
+
+def _recon_420(rgb):
+    return yuv420_to_rgb(*rgb_to_yuv420(rgb))
+
+
+class TestCbpInterTable:
+    def test_permutation(self):
+        assert sorted(_CBP_INTER) == list(range(48))
+        for code, cbp in enumerate(_CBP_INTER):
+            assert _CBP_INTER_INV[cbp] == code
+
+    def test_spec_anchors(self):
+        # Table 9-4 inter column: codeNum 0 -> 0 (nothing coded — the
+        # cheapest symbol for inter MBs), 1 -> 16 (chroma DC only),
+        # 12 -> 47 (everything)
+        assert _CBP_INTER[0] == 0
+        assert _CBP_INTER[1] == 16
+        assert _CBP_INTER[12] == 47
+
+
+class TestMotionPrimitives:
+    def test_mc_luma_integer_and_clamp(self):
+        ref = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+        out = _mc_luma(ref, 0, 0, (4 * 3, 4 * 2))
+        assert np.array_equal(out, ref[2:18, 3:19])
+        # negative displacement past the edge clamps (8.4.2.2.1)
+        out = _mc_luma(ref, 0, 0, (-4 * 2, 0))
+        assert np.array_equal(out[:, 0], out[:, 1])
+        assert np.array_equal(out[:, 2], ref[:16, 0])
+
+    def test_mc_luma_fractional_rejected(self):
+        ref = np.zeros((32, 32), dtype=np.uint8)
+        with pytest.raises(NotImplementedError, match="fractional"):
+            _mc_luma(ref, 0, 0, (2, 0))
+
+    def test_mc_chroma_half_sample_exact(self):
+        # luma mv (4,0) = half-sample chroma x: each output pixel is the
+        # exact (a+b+4)>>3-weighted pair per 8.4.2.2.2 with xFrac=4
+        ref = np.zeros((16, 16), dtype=np.uint8)
+        ref[:, 4] = 80
+        ref[:, 5] = 160
+        out = _mc_chroma(ref, 4, 0, (4, 0))
+        # xFrac=4, yFrac=0: ((8-4)*8*80 + 4*8*160 + 32) >> 6 = 120
+        assert (out[:, 0] == 120).all()
+
+    def test_mv_median_prediction(self):
+        mvs = np.zeros((2, 3, 2), dtype=np.int32)
+        inter = np.zeros((2, 3), dtype=bool)
+        # all three neighbors inter with distinct mvs -> median
+        mvs[1, 0] = (4, 8)    # A (left of (1,1))
+        mvs[0, 1] = (12, 0)   # B
+        mvs[0, 2] = (8, 20)   # C
+        inter[1, 0] = inter[0, 1] = inter[0, 2] = True
+        assert _mv_pred_16x16(mvs, inter, 1, 1) == (8, 8)
+        # exactly one inter neighbor -> its mv verbatim
+        inter[0, 1] = inter[0, 2] = False
+        assert _mv_pred_16x16(mvs, inter, 1, 1) == (4, 8)
+        # first row, only A in picture -> mvA
+        mvs[0, 0] = (-8, 4)
+        inter[0, 0] = True
+        assert _mv_pred_16x16(mvs, inter, 1, 0) == (-8, 4)
+
+    def test_skip_mv_rules(self):
+        mvs = np.zeros((2, 2, 2), dtype=np.int32)
+        inter = np.zeros((2, 2), dtype=bool)
+        # edge MB (no A or B in picture) -> zero
+        assert _skip_mv(mvs, inter, 0, 0) == (0, 0)
+        assert _skip_mv(mvs, inter, 1, 0) == (0, 0)
+        # interior with a zero-mv inter neighbor -> zero
+        mvs[1, 0] = (0, 0)
+        inter[1, 0] = True
+        mvs[0, 1] = (8, 8)
+        inter[0, 1] = True
+        assert _skip_mv(mvs, inter, 1, 1) == (0, 0)
+        # interior, both neighbors moving -> the median predictor
+        mvs[1, 0] = (8, 4)
+        assert _skip_mv(mvs, inter, 1, 1) != (0, 0)
+
+
+class TestGop:
+    def test_translating_scene_compresses_and_decodes(self):
+        rng = np.random.default_rng(7)
+        base = (np.cumsum(rng.integers(0, 4, (48, 80, 3)), axis=1)
+                % 180 + 30).astype(np.uint8)
+        frames = [np.roll(base, 2 * f, axis=1) for f in range(5)]
+        nals = encode_gop(frames, qp=24, pcm_mad=4.0)
+        assert all(len(n) < len(nals[0]) / 2 for n in nals[1:])
+        sps, pps = _cfg(80, 48)
+        st = {}
+        outs = decode_gop(nals, sps, pps, stats=st)
+        assert st.get("p16", 0) > 0 and st.get("skip", 0) > 0
+        for fr, out in zip(frames, outs):
+            err = np.abs(out.astype(int) - _recon_420(fr).astype(int))
+            assert err.mean() < 5.0
+
+    def test_static_scene_mostly_skips(self):
+        # a static scene: the first P frame may still spend a few
+        # residual bits converging the I frame's quantization error
+        # toward the source, but by the second P frame the recon is a
+        # fixpoint and every MB skips (header + one mb_skip_run)
+        rng = np.random.default_rng(9)
+        fr = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        nals = encode_gop([fr] * 5, qp=26, pcm_mad=64.0)
+        assert len(nals[-1]) < 12  # header + one mb_skip_run only
+        sps, pps = _cfg(48, 32)
+        st = {}
+        outs = decode_gop(nals, sps, pps, stats=st)
+        assert st.get("skip", 0) >= 11  # later frames are skip-dominated
+        # the fixpoint frames reproduce their reference bit-identically
+        assert np.array_equal(outs[-1], outs[-2])
+
+    def test_scene_cut_picks_intra(self):
+        # noise frame, then an unrelated SMOOTH frame: motion
+        # compensation off the noise reference leaves an expensive
+        # noisy residual while intra prediction of the smooth content
+        # is nearly free — the rate-aware decision must switch the
+        # second frame's MBs to intra
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        y, x = np.mgrid[0:32, 0:32]
+        b = np.stack([(60 + 2 * y + x).astype(np.uint8)] * 3, -1)
+        nals = encode_gop([a, b], qp=26, pcm_mad=4.0)
+        sps, pps = _cfg(32, 32)
+        st = {}
+        outs = decode_gop(nals, sps, pps, stats=st)
+        st2 = {}
+        decode_pframe_planes(nals[1], sps, pps,
+                             _decode_slice(nals[0], sps, pps, None),
+                             stats=st2)
+        assert st2.get("i16", 0) + st2.get("i4", 0) >= 2, st2
+        err = np.abs(outs[1].astype(int) - _recon_420(b).astype(int))
+        assert err.mean() < 4.0
+
+    def test_deterministic_and_chained_reference(self):
+        rng = np.random.default_rng(13)
+        base = (np.cumsum(rng.integers(0, 3, (32, 64, 3)), axis=0)
+                % 200).astype(np.uint8)
+        frames = [np.roll(base, 3 * f, axis=0) for f in range(4)]
+        nals1 = encode_gop(frames, qp=22)
+        nals2 = encode_gop(frames, qp=22)
+        assert nals1 == nals2
+        sps, pps = _cfg(64, 32)
+        outs1 = decode_gop(nals1, sps, pps)
+        outs2 = decode_gop(nals1, sps, pps)
+        for o1, o2 in zip(outs1, outs2):
+            assert np.array_equal(o1, o2)
+
+    def test_error_drift_bounded_over_long_gop(self):
+        # 12 P frames chained off one I frame: because encoder and
+        # decoder share the reconstruction bit-exactly, error must NOT
+        # accumulate frame over frame
+        rng = np.random.default_rng(17)
+        base = (np.cumsum(rng.integers(0, 3, (32, 48, 3)), axis=1)
+                % 190 + 20).astype(np.uint8)
+        frames = [np.roll(base, f, axis=1) for f in range(13)]
+        nals = encode_gop(frames, qp=24, pcm_mad=4.0)
+        sps, pps = _cfg(48, 32)
+        outs = decode_gop(nals, sps, pps)
+        errs = [float(np.abs(o.astype(int)
+                             - _recon_420(fr).astype(int)).mean())
+                for fr, o in zip(frames, outs)]
+        assert max(errs) <= 5.0, errs
+        assert errs[-1] < errs[0] + 2.0  # no drift blow-up
+
+
+class TestPDecoderGuards:
+    def test_p_without_reference_rejected(self):
+        rng = np.random.default_rng(3)
+        fr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        nals = encode_gop([fr, fr])
+        sps, pps = _cfg(16, 16)
+        with pytest.raises(ValueError, match="reference"):
+            decode_pframe_planes(nals[1], sps, pps, None)  # type: ignore
+
+    def test_unsupported_partition_rejected(self):
+        from sparksketch.mp4 import _BitWriter
+        sps, pps = _cfg(16, 16)
+        ref = (np.zeros((16, 16), np.uint8), np.zeros((8, 8), np.uint8),
+               np.zeros((8, 8), np.uint8))
+        w = _BitWriter()
+        w.ue(0)
+        w.ue(5)      # P slice
+        w.ue(0)
+        w.u(1, 8)
+        w.u(2, 8)
+        w.u(0, 3)    # override / list-mod / adaptive-marking flags
+        w.se(0)
+        w.ue(1)
+        w.ue(0)      # mb_skip_run = 0
+        w.ue(1)      # mb_type 1: P_L0_L0_16x8 — outside the subset
+        with pytest.raises(NotImplementedError, match="P partitions"):
+            decode_pframe_planes(bytes([0x61]) + w.rbsp(), sps, pps, ref)
+
+    def test_skip_run_overrun_rejected(self):
+        from sparksketch.mp4 import _BitWriter
+        sps, pps = _cfg(16, 16)
+        ref = (np.zeros((16, 16), np.uint8), np.zeros((8, 8), np.uint8),
+               np.zeros((8, 8), np.uint8))
+        w = _BitWriter()
+        w.ue(0)
+        w.ue(5)
+        w.ue(0)
+        w.u(1, 8)
+        w.u(2, 8)
+        w.u(0, 3)
+        w.se(0)
+        w.ue(1)
+        w.ue(9)      # mb_skip_run = 9 in a 1-MB picture
+        with pytest.raises(ValueError, match="overrun"):
+            decode_pframe_planes(bytes([0x61]) + w.rbsp(), sps, pps, ref)
