@@ -514,17 +514,28 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     shares one of the 16 2-row bands w.p. 1 - (1 - 0.25)^16 ~ 0.990, and
     the actual >= 0.5 pairs in this corpus are near-identical, sharing
     nearly all bands — certified by the unchanged exact-SQL oracle, which
-    scores ALL pairs.  Signatures are persisted so the sig UDF runs once,
-    not once per side of the band self-join."""
+    scores ALL pairs.  Plan hygiene (the round-4 +108% regression's fix):
+    the signature frame is persisted AND materialized (count) BEFORE the
+    band self-join and the verify fan out over it — an unmaterialized
+    persist is recomputed concurrently by every consumer task inside the
+    single downstream action (measured 13-20 s vs ~2.5 s warm).  The
+    verify side re-derives gram-hash arrays from a row-repartitioned scan
+    (the sf parquet is a single row group; unpartitioned, that pure-JVM
+    pass runs on one core) instead of the raw single-row-group table."""
     from pyspark import StorageLevel
-    from sparksketch.dedup import (exact_jaccard_pairs, lsh_candidate_pairs,
-                                   minhash_signatures)
+    from sparksketch.caching import track_cache
+    from sparksketch.dedup import (exact_jaccard_pairs, gram_hash_arrays,
+                                   lsh_candidate_pairs, minhash_signatures)
     docs = _tbl(spark, sf_dir, "documents")
-    sigs = (minhash_signatures(docs, "doc_id", n_perm=32, shingle_n=3)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    rdocs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sigs = track_cache(
+        minhash_signatures(rdocs, "doc_id", n_perm=32, shingle_n=3)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    sigs.count()  # materialize: every consumer below reads the cache
     cands = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=2)
+    grams = gram_hash_arrays(rdocs, "doc_id", "text", shingle_n=3)
     return (exact_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
-                                threshold=0.5, pairs=cands)
+                                threshold=0.5, pairs=cands, grams=grams)
             .select(F.col("id_a").alias("doc_a"),
                     F.col("id_b").alias("doc_b"), "jaccard"))
 
@@ -537,16 +548,24 @@ def q_dedup_near_clusters(spark, sf_dir):
     pointer jumping (lineage-truncated each round), and each cluster
     keeps one canonical doc (min id).  The oracle recomputes the
     transitive closure with a recursive CTE over the same exact-pair
-    set."""
+    set.  Same plan hygiene as ngram_jaccard_pairs: signatures
+    materialized before the fan-out, verify reads a repartitioned
+    gram pass."""
     from pyspark import StorageLevel
+    from sparksketch.caching import track_cache
     from sparksketch.dedup import (dedup_clusters, exact_jaccard_pairs,
-                                   lsh_candidate_pairs, minhash_signatures)
+                                   gram_hash_arrays, lsh_candidate_pairs,
+                                   minhash_signatures)
     docs = _tbl(spark, sf_dir, "documents")
-    sigs = (minhash_signatures(docs, "doc_id", n_perm=32, shingle_n=3)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    rdocs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sigs = track_cache(
+        minhash_signatures(rdocs, "doc_id", n_perm=32, shingle_n=3)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=2)
+    grams = gram_hash_arrays(rdocs, "doc_id", "text", shingle_n=3)
     pairs = exact_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
-                                threshold=0.5, pairs=cands)
+                                threshold=0.5, pairs=cands, grams=grams)
     return (dedup_clusters(docs, pairs, "doc_id")
             .select("doc_id", "cluster_id", "is_canonical")
             .orderBy("doc_id"))

@@ -251,7 +251,8 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
 def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         shingle_n: int = 1, threshold: float = 0.0,
-                        pairs: DataFrame | None = None) -> DataFrame:
+                        pairs: DataFrame | None = None,
+                        grams: DataFrame | None = None) -> DataFrame:
     """Exact token/shingle-set jaccard.
 
     With ``pairs`` given (the scale path: chain LSH candidates in), ONLY
@@ -263,13 +264,22 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     (``jaccard_prefix_pairs``) — exact AND scale-safe.  Only the
     ``threshold == 0`` no-pairs case (score every co-occurring pair) uses
     the full inverted-index self-join, which is exact but quadratic in
-    co-occurrence; do not use THAT unbounded at scale."""
+    co-occurrence; do not use THAT unbounded at scale.
+
+    ``grams``: optional precomputed (ideally persisted)
+    ``gram_hash_arrays`` frame — share ONE tokenize+hash pass between the
+    candidate generator (minhash signatures) and this verify step instead
+    of re-deriving the arrays from ``df`` once per join side (the raw
+    table may be a single row group, so the re-derive would also run
+    single-core)."""
     gram_hashes = F.transform(gram_array(text_col, shingle_n)
                               if shingle_n > 1
                               else F.array_distinct(tokens_col(text_col)),
                               lambda g: F.xxhash64(g))
     if pairs is not None:
-        arrs = df.select(F.col(id_col), gram_hashes.alias("_g"))
+        arrs = (grams.select(F.col(id_col), F.col("grams").alias("_g"))
+                if grams is not None
+                else df.select(F.col(id_col), gram_hashes.alias("_g")))
         a = arrs.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
         b = arrs.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
         inter = F.size(F.array_intersect("_ga", "_gb"))

@@ -166,6 +166,14 @@ class TestDedupAccuracy:
             docs, "doc_id", shingle_n=3, threshold=0.5,
             pairs=cands).collect()))
         assert full and chained == full
+        # the shared-gram verify path (round 5: one tokenize+hash pass
+        # feeds signatures and the per-pair verify) is value-identical
+        from sparksketch.dedup import gram_hash_arrays
+        grams = gram_hash_arrays(docs, "doc_id", "text", shingle_n=3)
+        shared = set(map(tuple, exact_jaccard_pairs(
+            docs, "doc_id", shingle_n=3, threshold=0.5,
+            pairs=cands, grams=grams).collect()))
+        assert shared == full
 
     def test_prefix_join_equals_inverted_index(self, spark, sf_dir):
         """jaccard_prefix_pairs (AllPairs prefix filtering — the new
