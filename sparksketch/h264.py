@@ -39,9 +39,11 @@ neighbors counting 16 per spec 9.2.1), Intra_4x4 most-probable-mode
 signalling (8.3.1.1) with decode-order sample availability, per-MB QP
 tracking via mb_qp_delta, and the chroma QP mapping of Table 8-15.
 Anything OUTSIDE the subset raises NotImplementedError naming the
-feature: the remaining seam is fractional-sample luma motion (the
-6-tap filter), sub-16x16 partitions, multiple references, B slices,
-CABAC, and the loop filter.
+feature: the remaining seam is sub-16x16 partitions, multiple
+references, B slices, CABAC, and the loop filter.  Quarter-sample luma
+motion (8.4.2.2.1: the 6-tap half-sample filter, the two-stage center
+sample, Table 8-12 quarter averaging) is inside the subset as of
+round 5.
 
 Why a per-macroblock Python loop is acceptable here: fixture media frames
 are tiny (a few dozen macroblocks) and the codec runs INSIDE mapInPandas —
@@ -379,30 +381,81 @@ assert len(_CBP_INTER_INV) == 48
 
 
 # ---------------------------------------------------------------------------
-# inter prediction (spec 8.4) — P_L0_16x16 + P_Skip subset: full-sample
-# luma motion compensation (fractional luma positions are the documented
-# seam), EXACT eighth-sample bilinear chroma interpolation (8.4.2.2.2),
-# median motion-vector prediction (8.4.1.3) and the P_Skip inference
-# (8.4.1.1).  Motion vectors are stored in quarter-luma-sample units,
-# one per MB (16x16 partitions only).
+# inter prediction (spec 8.4) — P_L0_16x16 + P_Skip subset: QUARTER-sample
+# luma motion compensation (8.4.2.2.1: the (1,-5,20,20,-5,1)/32 6-tap
+# half-sample filter, the two-stage center sample j, and the averaging
+# quarter positions of Table 8-12), EXACT eighth-sample bilinear chroma
+# interpolation (8.4.2.2.2), median motion-vector prediction (8.4.1.3)
+# and the P_Skip inference (8.4.1.1).  Motion vectors are stored in
+# quarter-luma-sample units, one per MB (16x16 partitions only).
 # ---------------------------------------------------------------------------
+
+_QPEL_TAPS = np.array([1, -5, 20, 20, -5, 1], dtype=np.int64)
+
 
 def _mc_luma(ref: np.ndarray, x0: int, y0: int, mv: tuple[int, int]) \
         -> np.ndarray:
     """16x16 luma prediction at (x0, y0) displaced by ``mv`` (quarter
-    units).  Reference coordinates are clamped to the picture (spec
-    8.4.2.2.1 edge clip); fractional luma positions (the 6-tap
-    half-sample filter) are outside the subset."""
-    if mv[0] & 3 or mv[1] & 3:
-        raise NotImplementedError(
-            "fractional luma motion (6-tap half-sample filter) is the "
-            "documented seam — this subset uses full-sample luma MVs")
+    units), per spec 8.4.2.2.1.  Full-sample reference coordinates are
+    clamped to the picture independently per axis (the 8.4.2.2.1 edge
+    clip), so motion past the border repeats edge samples — fractional
+    positions filter over the clamped fetch exactly as the spec's
+    Clip3'd addressing does.
+
+    Half-sample positions use the 6-tap filter; the center position j is
+    the two-stage filter over UN-normalized horizontal intermediates
+    (separable, so filtering b1 columns equals the spec's choice of
+    either axis); quarter positions average the two nearest
+    integer/half samples with upward rounding (Table 8-12)."""
     h, w = ref.shape
-    ys = np.clip(np.arange(y0 + (mv[1] >> 2), y0 + (mv[1] >> 2) + 16),
-                 0, h - 1)
-    xs = np.clip(np.arange(x0 + (mv[0] >> 2), x0 + (mv[0] >> 2) + 16),
-                 0, w - 1)
-    return ref[np.ix_(ys, xs)]
+    xi, xf = mv[0] >> 2, mv[0] & 3
+    yi, yf = mv[1] >> 2, mv[1] & 3
+    if xf == 0 and yf == 0:
+        ys = np.clip(np.arange(y0 + yi, y0 + yi + 16), 0, h - 1)
+        xs = np.clip(np.arange(x0 + xi, x0 + xi + 16), 0, w - 1)
+        return ref[np.ix_(ys, xs)]
+    # 22x22 clamped window covering offsets [-2, 19] around the integer
+    # anchor: 16 outputs + 5-tap margin + 1 extra for the quarter
+    # positions' H/M/m/s (+1-shifted) neighbors
+    ys = np.clip(np.arange(y0 + yi - 2, y0 + yi + 20), 0, h - 1)
+    xs = np.clip(np.arange(x0 + xi - 2, x0 + xi + 20), 0, w - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    G = win[2:19, 2:19]                                   # integer, 17x17
+    # b1: un-normalized half-horizontal at the 17 output columns, all rows
+    b1 = sum(t * win[:, o:o + 17] for o, t in enumerate(_QPEL_TAPS))
+    b = np.clip((b1[2:19] + 16) >> 5, 0, 255)             # 17x17
+    h1 = sum(t * win[o:o + 17, :] for o, t in enumerate(_QPEL_TAPS))
+    hh = np.clip((h1[:, 2:19] + 16) >> 5, 0, 255)         # 17x17
+    j1 = sum(t * b1[o:o + 17, :] for o, t in enumerate(_QPEL_TAPS))
+    j = np.clip((j1 + 512) >> 10, 0, 255)                 # 17x17
+
+    def s(a):
+        return a[:16, :16]
+
+    def sx(a):          # +1 column: H (integer) / m (half-vert) neighbor
+        return a[:16, 1:17]
+
+    def sy(a):          # +1 row: M (integer) / s (half-horiz) neighbor
+        return a[1:17, :16]
+
+    table = {
+        (1, 0): (s(G), s(b)), (3, 0): (s(b), sx(G)),      # a, c
+        (0, 1): (s(G), s(hh)), (1, 1): (s(b), s(hh)),     # d, e
+        (2, 1): (s(b), s(j)), (3, 1): (s(b), sx(hh)),     # f, g
+        (1, 2): (s(hh), s(j)), (3, 2): (s(j), sx(hh)),    # i, k
+        (0, 3): (s(hh), sy(G)), (1, 3): (s(hh), sy(b)),   # n, p
+        (2, 3): (s(j), sy(b)), (3, 3): (sx(hh), sy(b)),   # q, r
+    }
+    if (xf, yf) == (2, 0):
+        out = s(b)
+    elif (xf, yf) == (0, 2):
+        out = s(hh)
+    elif (xf, yf) == (2, 2):
+        out = s(j)
+    else:
+        u, v = table[(xf, yf)]
+        out = (u + v + 1) >> 1
+    return out.astype(np.uint8)
 
 
 def _mc_chroma(ref: np.ndarray, cx0: int, cy0: int,
@@ -912,9 +965,10 @@ def encode_pframe(rgb: np.ndarray,
     ``ref`` — the UNCROPPED reconstructed planes of the previous frame
     (use :func:`encode_gop` to thread them automatically).
 
-    Per MB, in candidate order: P_Skip / P_L0_16x16 with a full-sample
+    Per MB, in candidate order: P_Skip / P_L0_16x16 with a two-stage
     motion search (+-``search`` integer positions around the rounded
-    median predictor, SAD objective, P_Skip emitted when the chosen MV
+    median predictor, then half- and quarter-sample refinement rings
+    around the winner; SAD objective, P_Skip emitted when the chosen MV
     equals the 8.4.1.1 inference and every quantized coefficient is
     zero); Intra_16x16 fallback when motion compensation misses
     ``pcm_mad``; lossless I_PCM as the last resort.  Intra_4x4 inside P
@@ -966,26 +1020,44 @@ def encode_pframe(rgb: np.ndarray,
             oCr = Cr[cy:cy + 8, cx:cx + 8]
             skipmv = _skip_mv(mvs, inter_flag, mbx, mby)
             mvp = _mv_pred_16x16(mvs, inter_flag, mbx, mby)
-            # full-sample diamond-less exhaustive search around the
-            # rounded predictor; the skip inference and (0,0) are always
-            # candidates so P_Skip stays reachable
+            # full-sample exhaustive search around the rounded predictor,
+            # then half- and quarter-sample refinement around the winner
+            # (the classic two-stage fractional search).  The EXACT skip
+            # inference (possibly fractional) and (0,0) are always
+            # candidates, listed first, so with strict '<' comparisons a
+            # tie keeps P_Skip reachable.
             c0x, c0y = (mvp[0] + 2) >> 2, (mvp[1] + 2) >> 2
             oY64 = oY.astype(np.int64)
             best = None
             seen = set()
-            cands = [(skipmv[0] >> 2, skipmv[1] >> 2), (0, 0)] + [
-                (c0x + dx, c0y + dy)
+            cands = [(skipmv[0], skipmv[1]), (0, 0)] + [
+                (4 * (c0x + dx), 4 * (c0y + dy))
                 for dy in range(-search, search + 1)
                 for dx in range(-search, search + 1)]
-            for dx, dy in cands:
-                if (dx, dy) in seen:
+
+            def _sad(q):
+                return int(np.abs(
+                    oY64 - _mc_luma(refY64, yx, yy, q)
+                    .astype(np.int64)).sum())
+
+            for q in cands:
+                if q in seen:
                     continue
-                seen.add((dx, dy))
-                sad = int(np.abs(
-                    oY64 - _mc_luma(refY64, yx, yy,
-                                    (4 * dx, 4 * dy))).sum())
+                seen.add(q)
+                sad = _sad(q)
                 if best is None or sad < best[0]:
-                    best = (sad, (4 * dx, 4 * dy))
+                    best = (sad, q)
+            for step in (2, 1):       # half-, then quarter-sample ring
+                bx_, by_ = best[1]
+                for dy in (-step, 0, step):
+                    for dx in (-step, 0, step):
+                        q = (bx_ + dx, by_ + dy)
+                        if q in seen:
+                            continue
+                        seen.add(q)
+                        sad = _sad(q)
+                        if sad < best[0]:
+                            best = (sad, q)
             mv = best[1]
             predY = _mc_luma(refY, yx, yy, mv)
             blocks4 = []
@@ -1294,6 +1366,8 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                 inter_flag[mby, mbx] = True
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
                 _bump("skip")
+                if mv[0] & 3 or mv[1] & 3:
+                    _bump("qpel")
             if addr >= n_mbs:
                 break
         mby, mbx = divmod(addr, mbs_w)
@@ -1335,6 +1409,8 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                 inter_flag[mby, mbx] = True
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
                 _bump("p16")
+                if mv[0] & 3 or mv[1] & 3:
+                    _bump("qpel")
                 continue
             mb_type -= 5  # intra MB in a P slice (Table 7-13 offset)
         if mb_type == 25:  # I_PCM

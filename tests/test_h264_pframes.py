@@ -47,10 +47,18 @@ class TestMotionPrimitives:
         assert np.array_equal(out[:, 0], out[:, 1])
         assert np.array_equal(out[:, 2], ref[:16, 0])
 
-    def test_mc_luma_fractional_rejected(self):
+    def test_mc_luma_half_sample_six_tap(self):
+        # round 5: fractional luma is inside the subset — a flat-field
+        # half-sample position reproduces the field (taps sum to 32), and
+        # a step edge shows the 6-tap ringing the bilinear filter lacks
+        ref = np.full((32, 32), 77, dtype=np.uint8)
+        assert (_mc_luma(ref, 8, 8, (2, 0)) == 77).all()
         ref = np.zeros((32, 32), dtype=np.uint8)
-        with pytest.raises(NotImplementedError, match="fractional"):
-            _mc_luma(ref, 0, 0, (2, 0))
+        ref[:, 16:] = 100
+        out = _mc_luma(ref, 8, 8, (2, 0))
+        # at the edge-adjacent half position: (1*0 -5*0 +20*0 +20*100
+        # -5*100 +1*100 + 16) >> 5 = 50 exactly at the step center
+        assert out[0, 8 - 1] == ((20 * 100 - 5 * 100 + 100 + 16) >> 5)
 
     def test_mc_chroma_half_sample_exact(self):
         # luma mv (4,0) = half-sample chroma x: each output pixel is the
