@@ -39,11 +39,13 @@ neighbors counting 16 per spec 9.2.1), Intra_4x4 most-probable-mode
 signalling (8.3.1.1) with decode-order sample availability, per-MB QP
 tracking via mb_qp_delta, and the chroma QP mapping of Table 8-15.
 Anything OUTSIDE the subset raises NotImplementedError naming the
-feature: the remaining seam is sub-16x16 partitions, multiple
-references, B slices, CABAC, and the loop filter.  Quarter-sample luma
-motion (8.4.2.2.1: the 6-tap half-sample filter, the two-stage center
-sample, Table 8-12 quarter averaging) is inside the subset as of
-round 5.
+feature: the remaining seam is P_8x8 sub-blocks below 8x8 (8x4 / 4x8 /
+4x4), multiple references, B slices, CABAC, and the loop filter.
+Inside the subset as of round 5: quarter-sample luma motion (8.4.2.2.1:
+the 6-tap half-sample filter, the two-stage center sample, Table 8-12
+quarter averaging) and the P_16x8 / P_8x16 / P_8x8 partitionings
+(Table 7-13) with directional MV prediction (8.4.1.3) at 4x4-block
+granularity and sequential intra-MB partition prediction.
 
 Why a per-macroblock Python loop is acceptable here: fixture media frames
 are tiny (a few dozen macroblocks) and the codec runs INSIDE mapInPandas —
@@ -393,50 +395,51 @@ assert len(_CBP_INTER_INV) == 48
 _QPEL_TAPS = np.array([1, -5, 20, 20, -5, 1], dtype=np.int64)
 
 
-def _mc_luma(ref: np.ndarray, x0: int, y0: int, mv: tuple[int, int]) \
-        -> np.ndarray:
-    """16x16 luma prediction at (x0, y0) displaced by ``mv`` (quarter
-    units), per spec 8.4.2.2.1.  Full-sample reference coordinates are
-    clamped to the picture independently per axis (the 8.4.2.2.1 edge
-    clip), so motion past the border repeats edge samples — fractional
-    positions filter over the clamped fetch exactly as the spec's
-    Clip3'd addressing does.
+def _mc_luma(ref: np.ndarray, x0: int, y0: int, mv: tuple[int, int],
+             size: tuple[int, int] = (16, 16)) -> np.ndarray:
+    """``size`` = (bh, bw) luma prediction at (x0, y0) displaced by
+    ``mv`` (quarter units), per spec 8.4.2.2.1.  Full-sample reference
+    coordinates are clamped to the picture independently per axis (the
+    8.4.2.2.1 edge clip), so motion past the border repeats edge
+    samples — fractional positions filter over the clamped fetch
+    exactly as the spec's Clip3'd addressing does.
 
     Half-sample positions use the 6-tap filter; the center position j is
     the two-stage filter over UN-normalized horizontal intermediates
     (separable, so filtering b1 columns equals the spec's choice of
     either axis); quarter positions average the two nearest
     integer/half samples with upward rounding (Table 8-12)."""
+    bh, bw = size
     h, w = ref.shape
     xi, xf = mv[0] >> 2, mv[0] & 3
     yi, yf = mv[1] >> 2, mv[1] & 3
     if xf == 0 and yf == 0:
-        ys = np.clip(np.arange(y0 + yi, y0 + yi + 16), 0, h - 1)
-        xs = np.clip(np.arange(x0 + xi, x0 + xi + 16), 0, w - 1)
+        ys = np.clip(np.arange(y0 + yi, y0 + yi + bh), 0, h - 1)
+        xs = np.clip(np.arange(x0 + xi, x0 + xi + bw), 0, w - 1)
         return ref[np.ix_(ys, xs)]
-    # 22x22 clamped window covering offsets [-2, 19] around the integer
-    # anchor: 16 outputs + 5-tap margin + 1 extra for the quarter
-    # positions' H/M/m/s (+1-shifted) neighbors
-    ys = np.clip(np.arange(y0 + yi - 2, y0 + yi + 20), 0, h - 1)
-    xs = np.clip(np.arange(x0 + xi - 2, x0 + xi + 20), 0, w - 1)
+    # (bh+6)x(bw+6) clamped window covering offsets [-2, bh/bw+3] around
+    # the integer anchor: bh/bw outputs + 5-tap margin + 1 extra for the
+    # quarter positions' H/M/m/s (+1-shifted) neighbors
+    ys = np.clip(np.arange(y0 + yi - 2, y0 + yi + bh + 4), 0, h - 1)
+    xs = np.clip(np.arange(x0 + xi - 2, x0 + xi + bw + 4), 0, w - 1)
     win = ref[np.ix_(ys, xs)].astype(np.int64)
-    G = win[2:19, 2:19]                                   # integer, 17x17
-    # b1: un-normalized half-horizontal at the 17 output columns, all rows
-    b1 = sum(t * win[:, o:o + 17] for o, t in enumerate(_QPEL_TAPS))
-    b = np.clip((b1[2:19] + 16) >> 5, 0, 255)             # 17x17
-    h1 = sum(t * win[o:o + 17, :] for o, t in enumerate(_QPEL_TAPS))
-    hh = np.clip((h1[:, 2:19] + 16) >> 5, 0, 255)         # 17x17
-    j1 = sum(t * b1[o:o + 17, :] for o, t in enumerate(_QPEL_TAPS))
-    j = np.clip((j1 + 512) >> 10, 0, 255)                 # 17x17
+    G = win[2:bh + 3, 2:bw + 3]                      # integer, +1 margin
+    # b1: un-normalized half-horizontal at the bw+1 output cols, all rows
+    b1 = sum(t * win[:, o:o + bw + 1] for o, t in enumerate(_QPEL_TAPS))
+    b = np.clip((b1[2:bh + 3] + 16) >> 5, 0, 255)
+    h1 = sum(t * win[o:o + bh + 1, :] for o, t in enumerate(_QPEL_TAPS))
+    hh = np.clip((h1[:, 2:bw + 3] + 16) >> 5, 0, 255)
+    j1 = sum(t * b1[o:o + bh + 1, :] for o, t in enumerate(_QPEL_TAPS))
+    j = np.clip((j1 + 512) >> 10, 0, 255)
 
     def s(a):
-        return a[:16, :16]
+        return a[:bh, :bw]
 
     def sx(a):          # +1 column: H (integer) / m (half-vert) neighbor
-        return a[:16, 1:17]
+        return a[:bh, 1:bw + 1]
 
     def sy(a):          # +1 row: M (integer) / s (half-horiz) neighbor
-        return a[1:17, :16]
+        return a[1:bh + 1, :bw]
 
     table = {
         (1, 0): (s(G), s(b)), (3, 0): (s(b), sx(G)),      # a, c
@@ -459,62 +462,86 @@ def _mc_luma(ref: np.ndarray, x0: int, y0: int, mv: tuple[int, int]) \
 
 
 def _mc_chroma(ref: np.ndarray, cx0: int, cy0: int,
-               mv: tuple[int, int]) -> np.ndarray:
-    """8x8 chroma prediction (4:2:0): the luma quarter-sample mv is an
-    EIGHTH-chroma-sample displacement; bilinear per spec 8.4.2.2.2 with
-    edge-clamped integer positions."""
+               mv: tuple[int, int],
+               size: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """``size`` = (ch, cw) chroma prediction (4:2:0): the luma
+    quarter-sample mv is an EIGHTH-chroma-sample displacement; bilinear
+    per spec 8.4.2.2.2 with edge-clamped integer positions."""
+    ch, cw = size
     h, w = ref.shape
     xi, xf = mv[0] >> 3, mv[0] & 7
     yi, yf = mv[1] >> 3, mv[1] & 7
-    ys = np.clip(np.arange(cy0 + yi, cy0 + yi + 9), 0, h - 1)
-    xs = np.clip(np.arange(cx0 + xi, cx0 + xi + 9), 0, w - 1)
+    ys = np.clip(np.arange(cy0 + yi, cy0 + yi + ch + 1), 0, h - 1)
+    xs = np.clip(np.arange(cx0 + xi, cx0 + xi + cw + 1), 0, w - 1)
     win = ref[np.ix_(ys, xs)].astype(np.int64)
-    a = win[:8, :8]
-    b = win[:8, 1:]
-    c = win[1:, :8]
+    a = win[:ch, :cw]
+    b = win[:ch, 1:]
+    c = win[1:, :cw]
     d = win[1:, 1:]
     return (((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
              + (8 - xf) * yf * c + xf * yf * d + 32) >> 6).astype(np.uint8)
 
 
-def _neighbor_mvs(mvs: np.ndarray, inter: np.ndarray, mbx: int, mby: int):
-    """(mvA, availA), (mvB, availB), (mvC, availC) for the 16x16 MV
-    prediction — availN means 'available AND inter-coded' (an intra or
-    out-of-picture neighbor predicts with mv 0 and no ref match, spec
-    8.4.1.3.2); C falls back to D (up-left) when up-right is outside."""
-    mbs_h, mbs_w = inter.shape
-
-    def get(x, y):
-        if 0 <= x < mbs_w and 0 <= y < mbs_h:
-            return (int(mvs[y, x, 0]), int(mvs[y, x, 1])), \
-                bool(inter[y, x]), True
-        return (0, 0), False, False
-
-    a, a_inter, a_in = get(mbx - 1, mby)
-    b, b_inter, b_in = get(mbx, mby - 1)
-    if mbx + 1 < mbs_w and mby - 1 >= 0:
-        c, c_inter, c_in = get(mbx + 1, mby - 1)
-    else:
-        c, c_inter, c_in = get(mbx - 1, mby - 1)
-    return (a, a_inter, a_in), (b, b_inter, b_in), (c, c_inter, c_in)
+def _nb_blk(mvs4: np.ndarray, inter4: np.ndarray, decoded: np.ndarray,
+            bx: int, by: int):
+    """(mv, is_inter, available) for 4x4 luma block (bx, by) — available
+    means inside the picture AND already decoded (decode order matters
+    once partitions inside one MB predict from each other); an intra or
+    unavailable neighbor contributes mv 0 and no reference match (spec
+    8.4.1.3.2)."""
+    h4, w4 = inter4.shape
+    if 0 <= bx < w4 and 0 <= by < h4 and decoded[by, bx]:
+        return ((int(mvs4[by, bx, 0]), int(mvs4[by, bx, 1])),
+                bool(inter4[by, bx]), True)
+    return (0, 0), False, False
 
 
-def _mv_pred_16x16(mvs: np.ndarray, inter: np.ndarray, mbx: int,
-                   mby: int) -> tuple[int, int]:
-    """Median MV predictor (spec 8.4.1.3) for a P_L0_16x16 partition
-    with one reference picture."""
-    (a, ai, a_in), (b, bi, b_in), (c, ci, c_in) = \
-        _neighbor_mvs(mvs, inter, mbx, mby)
-    if not b_in and not c_in and a_in:
+def _neighbor_mvs(mvs4: np.ndarray, inter4: np.ndarray,
+                  decoded: np.ndarray, bx: int, by: int, w_blk: int):
+    """A (left), B (up), C (up-right, with the D up-left substitution
+    when C is unavailable) for the partition whose top-left 4x4 block is
+    (bx, by) and whose width is ``w_blk`` blocks (8.4.1.3.2)."""
+    a = _nb_blk(mvs4, inter4, decoded, bx - 1, by)
+    b = _nb_blk(mvs4, inter4, decoded, bx, by - 1)
+    c = _nb_blk(mvs4, inter4, decoded, bx + w_blk, by - 1)
+    if not c[2]:
+        c = _nb_blk(mvs4, inter4, decoded, bx - 1, by - 1)
+    return a, b, c
+
+
+def _mv_pred(mvs4: np.ndarray, inter4: np.ndarray, decoded: np.ndarray,
+             bx: int, by: int, w_blk: int,
+             part: str | None = None) -> tuple[int, int]:
+    """MV predictor (spec 8.4.1.3) for a partition with one reference
+    picture, at 4x4-block granularity.  ``part`` selects the 16x8/8x16
+    directional rules (use the matching-reference neighbor verbatim):
+    '16x8_top' -> B, '16x8_bot' -> A, '8x16_left' -> A,
+    '8x16_right' -> C; all other shapes take the median."""
+    (a, ai, a_av), (b, bi, b_av), (c, ci, c_av) = \
+        _neighbor_mvs(mvs4, inter4, decoded, bx, by, w_blk)
+    if part == "16x8_top" and bi:
+        return b
+    if part in ("16x8_bot", "8x16_left") and ai:
+        return a
+    if part == "8x16_right" and ci:
+        return c
+    if not b_av and not c_av and a_av:
         return a  # 8.4.1.3.1: only the left neighbor is in the picture
     matches = [mv for mv, is_inter in ((a, ai), (b, bi), (c, ci))
                if is_inter]
     if len(matches) == 1:  # exactly one neighbor references this picture
         return matches[0]
     ax, ay = a if ai else (0, 0)
-    bx, by_ = b if bi else (0, 0)
+    bx_, by_ = b if bi else (0, 0)
     cx, cy_ = c if ci else (0, 0)
-    return (int(np.median([ax, bx, cx])), int(np.median([ay, by_, cy_])))
+    return (int(np.median([ax, bx_, cx])), int(np.median([ay, by_, cy_])))
+
+
+def _mv_pred_16x16(mvs4: np.ndarray, inter4: np.ndarray,
+                   decoded: np.ndarray, mbx: int, mby: int) \
+        -> tuple[int, int]:
+    """Median MV predictor for a P_L0_16x16 partition."""
+    return _mv_pred(mvs4, inter4, decoded, mbx * 4, mby * 4, 4)
 
 
 def _recon_luma_blocks4(pred: np.ndarray, blocks, qp: int) -> np.ndarray:
@@ -531,15 +558,31 @@ def _recon_luma_blocks4(pred: np.ndarray, blocks, qp: int) -> np.ndarray:
     return out
 
 
-def _skip_mv(mvs: np.ndarray, inter: np.ndarray, mbx: int, mby: int) \
-        -> tuple[int, int]:
+def _skip_mv(mvs4: np.ndarray, inter4: np.ndarray, decoded: np.ndarray,
+             mbx: int, mby: int) -> tuple[int, int]:
     """P_Skip motion inference (spec 8.4.1.1)."""
-    (a, ai, a_in), (b, bi, b_in), _ = _neighbor_mvs(mvs, inter, mbx, mby)
-    if not a_in or not b_in:
+    bx0, by0 = mbx * 4, mby * 4
+    a, ai, a_av = _nb_blk(mvs4, inter4, decoded, bx0 - 1, by0)
+    b, bi, b_av = _nb_blk(mvs4, inter4, decoded, bx0, by0 - 1)
+    if not a_av or not b_av:
         return (0, 0)
     if (ai and a == (0, 0)) or (bi and b == (0, 0)):
         return (0, 0)
-    return _mv_pred_16x16(mvs, inter, mbx, mby)
+    return _mv_pred_16x16(mvs4, inter4, decoded, mbx, mby)
+
+
+# P macroblock partitionings (Table 7-13 mb_type 0-3): per partition its
+# directional-prediction tag, the (x, y) offset and size inside the MB in
+# 4x4-block units, in partition decode order.
+_P_SHAPES = {
+    "16x16": (0, [(None, 0, 0, 4, 4)]),
+    "16x8": (1, [("16x8_top", 0, 0, 4, 2), ("16x8_bot", 0, 2, 4, 2)]),
+    "8x16": (2, [("8x16_left", 0, 0, 2, 4), ("8x16_right", 2, 0, 2, 4)]),
+    "8x8": (3, [(None, 0, 0, 2, 2), (None, 2, 0, 2, 2),
+                (None, 0, 2, 2, 2), (None, 2, 2, 2, 2)]),
+}
+_P_SHAPE_BY_TYPE = {mbt: (shape, plist)
+                    for shape, (mbt, plist) in _P_SHAPES.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -992,8 +1035,8 @@ def encode_pframe(rgb: np.ndarray,
     ctx = _CoeffCtx(mbs_w, mbs_h)
     decoded = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
     i4modes = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
-    mvs = np.zeros((mbs_h, mbs_w, 2), dtype=np.int32)
-    inter_flag = np.zeros((mbs_h, mbs_w), dtype=bool)
+    mvs4 = np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
+    inter4 = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
     qpc = hr.chroma_qp(qp, 0)
     refY64 = refY.astype(np.int64)
 
@@ -1018,102 +1061,179 @@ def encode_pframe(rgb: np.ndarray,
             oY = Y[yy:yy + 16, yx:yx + 16]
             oCb = Cb[cy:cy + 8, cx:cx + 8]
             oCr = Cr[cy:cy + 8, cx:cx + 8]
-            skipmv = _skip_mv(mvs, inter_flag, mbx, mby)
-            mvp = _mv_pred_16x16(mvs, inter_flag, mbx, mby)
-            # full-sample exhaustive search around the rounded predictor,
-            # then half- and quarter-sample refinement around the winner
-            # (the classic two-stage fractional search).  The EXACT skip
-            # inference (possibly fractional) and (0,0) are always
-            # candidates, listed first, so with strict '<' comparisons a
-            # tie keeps P_Skip reachable.
-            c0x, c0y = (mvp[0] + 2) >> 2, (mvp[1] + 2) >> 2
+            skipmv = _skip_mv(mvs4, inter4, decoded, mbx, mby)
             oY64 = oY.astype(np.int64)
-            best = None
-            seen = set()
-            cands = [(skipmv[0], skipmv[1]), (0, 0)] + [
-                (4 * (c0x + dx), 4 * (c0y + dy))
-                for dy in range(-search, search + 1)
-                for dx in range(-search, search + 1)]
+            lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
 
-            def _sad(q):
-                return int(np.abs(
-                    oY64 - _mc_luma(refY64, yx, yy, q)
-                    .astype(np.int64)).sum())
+            def _search_part(px, py, bw_, bh_, centers, radius, first=()):
+                """Integer exhaustive search around each center, then
+                half- and quarter-sample refinement rings around the
+                winner (the classic two-stage fractional search).  The
+                ``first`` candidates (the exact, possibly fractional,
+                skip inference) are evaluated before everything else so
+                strict '<' comparisons keep P_Skip reachable on ties."""
+                o = Y[py:py + bh_, px:px + bw_].astype(np.int64)
+                best_l, seen = None, set()
+                cands = list(first) + [(0, 0)]
+                for ccx, ccy in centers:
+                    cands += [(4 * (ccx + dx), 4 * (ccy + dy))
+                              for dy in range(-radius, radius + 1)
+                              for dx in range(-radius, radius + 1)]
 
-            for q in cands:
-                if q in seen:
-                    continue
-                seen.add(q)
-                sad = _sad(q)
-                if best is None or sad < best[0]:
-                    best = (sad, q)
-            for step in (2, 1):       # half-, then quarter-sample ring
-                bx_, by_ = best[1]
-                for dy in (-step, 0, step):
-                    for dx in (-step, 0, step):
-                        q = (bx_ + dx, by_ + dy)
-                        if q in seen:
-                            continue
-                        seen.add(q)
-                        sad = _sad(q)
-                        if sad < best[0]:
-                            best = (sad, q)
-            mv = best[1]
-            predY = _mc_luma(refY, yx, yy, mv)
-            blocks4 = []
-            predY64 = predY.astype(np.int64)
-            for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
-                res = oY64[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4] \
-                    - predY64[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4]
-                blocks4.append(hr.mat_to_scan(
-                    hr.quant4x4(hr.fwd4x4(res), qp)))
-            cbp_luma4 = 0
-            for i8 in range(4):
-                if any(blocks4[i8 * 4 + i4].any() for i4 in range(4)):
-                    cbp_luma4 |= 1 << i8
-            predCb = _mc_chroma(refCb, cx, cy, mv)
-            predCr = _mc_chroma(refCr, cx, cy, mv)
-            dcCb, acCb = hr.transform_quant_chroma8(oCb, predCb, qpc)
-            dcCr, acCr = hr.transform_quant_chroma8(oCr, predCr, qpc)
-            if any(a.any() for a in acCb) or any(a.any() for a in acCr):
-                cbp_chroma = 2
-            elif dcCb.any() or dcCr.any():
-                cbp_chroma = 1
-            else:
-                cbp_chroma = 0
-            cbp = cbp_luma4 | (cbp_chroma << 4)
-            zero_l = [np.zeros(16, dtype=np.int64)] * 16
-            rY = _recon_luma_blocks4(
-                predY, blocks4 if cbp_luma4 else zero_l, qp)
-            rCb = hr.recon_chroma8(
-                predCb, dcCb if cbp_chroma else np.zeros((2, 2), np.int64),
-                acCb if cbp_chroma == 2 else None, qpc)
-            rCr = hr.recon_chroma8(
-                predCr, dcCr if cbp_chroma else np.zeros((2, 2), np.int64),
-                acCr if cbp_chroma == 2 else None, qpc)
-            imad = max(
-                float(np.abs(oY64 - rY.astype(np.int64)).mean()),
-                (float(np.abs(oCb.astype(np.int64)
-                              - rCb.astype(np.int64)).mean())
-                 + float(np.abs(oCr.astype(np.int64)
-                                - rCr.astype(np.int64)).mean())) / 2.0)
+                def _sad(q):
+                    return int(np.abs(
+                        o - _mc_luma(refY64, px, py, q, (bh_, bw_))
+                        .astype(np.int64)).sum())
+
+                for q in cands:
+                    if q in seen:
+                        continue
+                    seen.add(q)
+                    sad = _sad(q)
+                    if best_l is None or sad < best_l[0]:
+                        best_l = (sad, q)
+                for step in (2, 1):
+                    qx, qy = best_l[1]
+                    for dy in (-step, 0, step):
+                        for dx in (-step, 0, step):
+                            q = (qx + dx, qy + dy)
+                            if q in seen:
+                                continue
+                            seen.add(q)
+                            sad = _sad(q)
+                            if sad < best_l[0]:
+                                best_l = (sad, q)
+                return best_l[1]
+
+            def _trial(shape, best16=None):
+                """Search one partitioning.  Partitions are predicted
+                and committed SEQUENTIALLY into scratch grids, because
+                the second partition's predictor reads the first's mv
+                (exactly what the decoder will reconstruct)."""
+                mbt, plist = _P_SHAPES[shape]
+                t_mvs, t_int = mvs4.copy(), inter4.copy()
+                t_dec = decoded.copy()
+                predY = np.empty((16, 16), dtype=np.uint8)
+                predCb = np.empty((8, 8), dtype=np.uint8)
+                predCr = np.empty((8, 8), dtype=np.uint8)
+                mv_list, mvd_list = [], []
+                for tag, ox, oy, wb, hb in plist:
+                    bx, by = bx0 + ox, by0 + oy
+                    px, py = yx + ox * 4, yy + oy * 4
+                    mvp_p = _mv_pred(t_mvs, t_int, t_dec, bx, by, wb,
+                                     part=tag)
+                    c0 = ((mvp_p[0] + 2) >> 2, (mvp_p[1] + 2) >> 2)
+                    if shape == "16x16":
+                        mv_p = _search_part(px, py, 16, 16, [c0], search,
+                                            first=[skipmv])
+                    else:
+                        # sub-partition searches center on the partition's
+                        # own predictor, the 16x16 winner, AND the origin
+                        # (motion can OPPOSE the predictor — e.g. shearing
+                        # halves at a picture corner where the only
+                        # neighbor predicts the other half's vector), with
+                        # a small radius — the full-radius evidence
+                        # already lives in the 16x16 trial
+                        centers = [c0, (best16[0] >> 2, best16[1] >> 2),
+                                   (0, 0)]
+                        mv_p = _search_part(px, py, wb * 4, hb * 4,
+                                            centers, 3)
+                    predY[oy * 4:oy * 4 + hb * 4, ox * 4:ox * 4 + wb * 4] \
+                        = _mc_luma(refY, px, py, mv_p, (hb * 4, wb * 4))
+                    predCb[oy * 2:oy * 2 + hb * 2, ox * 2:ox * 2 + wb * 2] \
+                        = _mc_chroma(refCb, cx + ox * 2, cy + oy * 2,
+                                     mv_p, (hb * 2, wb * 2))
+                    predCr[oy * 2:oy * 2 + hb * 2, ox * 2:ox * 2 + wb * 2] \
+                        = _mc_chroma(refCr, cx + ox * 2, cy + oy * 2,
+                                     mv_p, (hb * 2, wb * 2))
+                    t_mvs[by:by + hb, bx:bx + wb] = mv_p
+                    t_int[by:by + hb, bx:bx + wb] = True
+                    t_dec[by:by + hb, bx:bx + wb] = True
+                    mv_list.append(mv_p)
+                    mvd_list.append((mv_p[0] - mvp_p[0],
+                                     mv_p[1] - mvp_p[1]))
+                return {"shape": shape, "mb_type": mbt, "plist": plist,
+                        "mvs": mv_list, "mvds": mvd_list, "predY": predY,
+                        "predCb": predCb, "predCr": predCr}
+
+            def _cost(tr):
+                """Residual-code the trial's composite prediction and
+                attach recon + J (SSD + lambda * approximate rate: mvd
+                magnitudes, nnz coefficients, per-shape header cost)."""
+                predY64 = tr["predY"].astype(np.int64)
+                blocks4 = []
+                for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+                    res = oY64[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4] \
+                        - predY64[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4]
+                    blocks4.append(hr.mat_to_scan(
+                        hr.quant4x4(hr.fwd4x4(res), qp)))
+                cbp_luma4 = 0
+                for i8 in range(4):
+                    if any(blocks4[i8 * 4 + i4].any() for i4 in range(4)):
+                        cbp_luma4 |= 1 << i8
+                dcCb, acCb = hr.transform_quant_chroma8(
+                    oCb, tr["predCb"], qpc)
+                dcCr, acCr = hr.transform_quant_chroma8(
+                    oCr, tr["predCr"], qpc)
+                if any(a.any() for a in acCb) or any(a.any() for a in acCr):
+                    cbp_chroma = 2
+                elif dcCb.any() or dcCr.any():
+                    cbp_chroma = 1
+                else:
+                    cbp_chroma = 0
+                zero_l = [np.zeros(16, dtype=np.int64)] * 16
+                rY = _recon_luma_blocks4(
+                    tr["predY"], blocks4 if cbp_luma4 else zero_l, qp)
+                rCb = hr.recon_chroma8(
+                    tr["predCb"],
+                    dcCb if cbp_chroma else np.zeros((2, 2), np.int64),
+                    acCb if cbp_chroma == 2 else None, qpc)
+                rCr = hr.recon_chroma8(
+                    tr["predCr"],
+                    dcCr if cbp_chroma else np.zeros((2, 2), np.int64),
+                    acCr if cbp_chroma == 2 else None, qpc)
+                imad = max(
+                    float(np.abs(oY64 - rY.astype(np.int64)).mean()),
+                    (float(np.abs(oCb.astype(np.int64)
+                                  - rCb.astype(np.int64)).mean())
+                     + float(np.abs(oCr.astype(np.int64)
+                                    - rCr.astype(np.int64)).mean())) / 2.0)
+                nnz = sum(int(np.count_nonzero(b)) for b in blocks4) \
+                    + int(np.count_nonzero(dcCb)) \
+                    + int(np.count_nonzero(dcCr)) \
+                    + sum(int(np.count_nonzero(a)) for a in acCb) \
+                    + sum(int(np.count_nonzero(a)) for a in acCr)
+                ssd = float(((oY64 - rY.astype(np.int64)) ** 2).sum())
+                mv_rate = sum(abs(dx) + abs(dy) for dx, dy in tr["mvds"])
+                head = {"16x16": 10, "16x8": 14, "8x16": 14,
+                        "8x8": 22}[tr["shape"]]
+                tr.update(blocks4=blocks4, cbp_luma4=cbp_luma4,
+                          cbp=cbp_luma4 | (cbp_chroma << 4),
+                          cbp_chroma=cbp_chroma, dcCb=dcCb, acCb=acCb,
+                          dcCr=dcCr, acCr=acCr, rY=rY, rCb=rCb, rCr=rCr,
+                          imad=imad,
+                          j=ssd + lam * (head + mv_rate + 6 * nnz))
+                return tr
+
+            t16 = _cost(_trial("16x16"))
+            bt = t16
+            # a clean skip needs no other trials; otherwise weigh the
+            # sub-partitionings (their finer vectors must BUY their extra
+            # mvd/header bits through the shared J)
+            if not (t16["mvs"][0] == skipmv and t16["cbp"] == 0):
+                for shape in ("16x8", "8x16", "8x8"):
+                    tr = _cost(_trial(shape, best16=t16["mvs"][0]))
+                    if tr["j"] < bt["j"]:
+                        bt = tr
             # rate-aware inter-vs-intra choice (same J = SSD + lambda*R
             # shape as the I-slice mode decision): across a scene cut
             # motion compensation can still PATCH any MB with a huge
             # residual, so distortion alone would never pick intra —
             # the bit cost is what separates them
-            lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
-            nnz_p = sum(int(np.count_nonzero(b)) for b in blocks4) \
-                + int(np.count_nonzero(dcCb)) + int(np.count_nonzero(dcCr)) \
-                + sum(int(np.count_nonzero(a)) for a in acCb) \
-                + sum(int(np.count_nonzero(a)) for a in acCr)
-            ssd_p = float(((oY64 - rY.astype(np.int64)) ** 2).sum())
-            j_inter = ssd_p + lam * (10 + abs(mv[0] - mvp[0])
-                                     + abs(mv[1] - mvp[1]) + 6 * nnz_p)
             i16 = _try_i16_in_p(oY, oCb, oCr, recY, recCb, recCr,
                                 yx, yy, cx, cy, qp, qpc)
             if i16 is not None and pcm_mad >= 0 \
-                    and i16["j"] < j_inter and i16["mad"] <= pcm_mad:
+                    and i16["j"] < bt["j"] and i16["mad"] <= pcm_mad:
                 w.ue(pending_skip)
                 pending_skip = 0
                 _emit_i16_in_p(w, ctx, mbx, mby, i16)
@@ -1122,28 +1242,39 @@ def encode_pframe(rgb: np.ndarray,
                 recCr[cy:cy + 8, cx:cx + 8] = i16["rCr"]
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
                 continue
-            if pcm_mad >= 0 and imad <= pcm_mad:
-                if mv == skipmv and cbp == 0:
+            if pcm_mad >= 0 and bt["imad"] <= pcm_mad:
+                if bt["shape"] == "16x16" and bt["mvs"][0] == skipmv \
+                        and bt["cbp"] == 0:
                     pending_skip += 1        # P_Skip
                 else:
                     w.ue(pending_skip)       # mb_skip_run
                     pending_skip = 0
-                    w.ue(0)                  # mb_type: P_L0_16x16
-                    w.se(mv[0] - mvp[0])     # mvd_l0 x
-                    w.se(mv[1] - mvp[1])     # mvd_l0 y
-                    w.ue(_CBP_INTER_INV[cbp])
-                    if cbp:
+                    w.ue(bt["mb_type"])      # Table 7-13 partitioning
+                    if bt["shape"] == "8x8":
+                        for _ in range(4):
+                            w.ue(0)          # sub_mb_type: P_L0_8x8
+                    for dx, dy in bt["mvds"]:
+                        w.se(dx)             # mvd_l0 per partition
+                        w.se(dy)
+                    w.ue(_CBP_INTER_INV[bt["cbp"]])
+                    if bt["cbp"]:
                         w.se(0)              # mb_qp_delta
                         _write_i4_luma_residual(w, ctx, mbx, mby,
-                                                blocks4, cbp_luma4)
-                        _write_chroma_residual(w, ctx, mbx, mby, dcCb,
-                                               acCb, dcCr, acCr,
-                                               cbp_chroma)
-                recY[yy:yy + 16, yx:yx + 16] = rY
-                recCb[cy:cy + 8, cx:cx + 8] = rCb
-                recCr[cy:cy + 8, cx:cx + 8] = rCr
-                mvs[mby, mbx] = mv
-                inter_flag[mby, mbx] = True
+                                                bt["blocks4"],
+                                                bt["cbp_luma4"])
+                        _write_chroma_residual(w, ctx, mbx, mby,
+                                               bt["dcCb"], bt["acCb"],
+                                               bt["dcCr"], bt["acCr"],
+                                               bt["cbp_chroma"])
+                recY[yy:yy + 16, yx:yx + 16] = bt["rY"]
+                recCb[cy:cy + 8, cx:cx + 8] = bt["rCb"]
+                recCr[cy:cy + 8, cx:cx + 8] = bt["rCr"]
+                for (tag, ox, oy, wb, hb), mv_p in zip(bt["plist"],
+                                                       bt["mvs"]):
+                    mvs4[by0 + oy:by0 + oy + hb,
+                         bx0 + ox:bx0 + ox + wb] = mv_p
+                    inter4[by0 + oy:by0 + oy + hb,
+                           bx0 + ox:bx0 + ox + wb] = True
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
                 continue
             # Intra_16x16 fallback inside the P slice (motion missed)
@@ -1338,8 +1469,8 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
     qp_offset = pps.get("chroma_qp_index_offset", 0)
     if is_p:
         refY, refCb, refCr = ref
-        mvs = np.zeros((mbs_h, mbs_w, 2), dtype=np.int32)
-        inter_flag = np.zeros((mbs_h, mbs_w), dtype=bool)
+        mvs4 = np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
+        inter4 = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
 
     def _bump(key):
         if stats is not None:
@@ -1358,12 +1489,12 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                 yx, yy = mbx * 16, mby * 16
                 cx, cy = mbx * 8, mby * 8
                 bx0, by0 = mbx * 4, mby * 4
-                mv = _skip_mv(mvs, inter_flag, mbx, mby)
+                mv = _skip_mv(mvs4, inter4, decoded, mbx, mby)
                 recY[yy:yy + 16, yx:yx + 16] = _mc_luma(refY, yx, yy, mv)
                 recCb[cy:cy + 8, cx:cx + 8] = _mc_chroma(refCb, cx, cy, mv)
                 recCr[cy:cy + 8, cx:cx + 8] = _mc_chroma(refCr, cx, cy, mv)
-                mvs[mby, mbx] = mv
-                inter_flag[mby, mbx] = True
+                mvs4[by0:by0 + 4, bx0:bx0 + 4] = mv
+                inter4[by0:by0 + 4, bx0:bx0 + 4] = True
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
                 _bump("skip")
                 if mv[0] & 3 or mv[1] & 3:
@@ -1378,13 +1509,16 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
         mb_type = r.ue()
         if is_p:
             if mb_type < 5:  # inter MB (Table 7-13)
-                if mb_type != 0:
-                    raise NotImplementedError(
-                        "P partitions other than 16x16 (P_16x8 / P_8x16 "
-                        "/ P_8x8) unsupported")
-                mvp = _mv_pred_16x16(mvs, inter_flag, mbx, mby)
-                mvd = (r.se(), r.se())
-                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                shape, plist = _P_SHAPE_BY_TYPE[
+                    3 if mb_type == 4 else mb_type]  # 4 = P_8x8ref0
+                if mb_type in (3, 4):
+                    for _ in range(4):  # sub_mb_type per 8x8 (Table 7-14)
+                        smt = r.ue()
+                        if smt != 0:
+                            raise NotImplementedError(
+                                "P_8x8 sub-partitions below 8x8 (8x4 / "
+                                "4x8 / 4x4) unsupported")
+                mvds = [(r.se(), r.se()) for _ in plist]
                 code_num = r.ue()
                 if code_num > 47:
                     raise ValueError(
@@ -1398,18 +1532,41 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                                                  cbp_luma4)
                 dcCb, acCb, dcCr, acCr = _read_chroma_residual(
                     r, ctx, mbx, mby, cbp_chroma)
-                predY = _mc_luma(refY, yx, yy, mv)
+                predY = np.empty((16, 16), dtype=np.uint8)
+                predCb = np.empty((8, 8), dtype=np.uint8)
+                predCr = np.empty((8, 8), dtype=np.uint8)
+                frac = False
+                # partitions reconstruct sequentially: the second one's
+                # predictor reads the first's mv from the block grids
+                for (tag, ox, oy, wb, hb), mvd in zip(plist, mvds):
+                    bx, by = bx0 + ox, by0 + oy
+                    px, py = yx + ox * 4, yy + oy * 4
+                    mvp = _mv_pred(mvs4, inter4, decoded, bx, by, wb,
+                                   part=tag)
+                    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    frac = frac or bool(mv[0] & 3 or mv[1] & 3)
+                    predY[oy * 4:oy * 4 + hb * 4, ox * 4:ox * 4 + wb * 4] \
+                        = _mc_luma(refY, px, py, mv, (hb * 4, wb * 4))
+                    predCb[oy * 2:oy * 2 + hb * 2,
+                           ox * 2:ox * 2 + wb * 2] = _mc_chroma(
+                        refCb, cx + ox * 2, cy + oy * 2, mv,
+                        (hb * 2, wb * 2))
+                    predCr[oy * 2:oy * 2 + hb * 2,
+                           ox * 2:ox * 2 + wb * 2] = _mc_chroma(
+                        refCr, cx + ox * 2, cy + oy * 2, mv,
+                        (hb * 2, wb * 2))
+                    mvs4[by:by + hb, bx:bx + wb] = mv
+                    inter4[by:by + hb, bx:bx + wb] = True
+                    decoded[by:by + hb, bx:bx + wb] = True
                 recY[yy:yy + 16, yx:yx + 16] = _recon_luma_blocks4(
                     predY, blocks4, qp)
                 recCb[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
-                    _mc_chroma(refCb, cx, cy, mv), dcCb, acCb, qpc)
+                    predCb, dcCb, acCb, qpc)
                 recCr[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
-                    _mc_chroma(refCr, cx, cy, mv), dcCr, acCr, qpc)
-                mvs[mby, mbx] = mv
-                inter_flag[mby, mbx] = True
+                    predCr, dcCr, acCr, qpc)
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
-                _bump("p16")
-                if mv[0] & 3 or mv[1] & 3:
+                _bump("p16" if shape == "16x16" else f"p{shape}")
+                if frac:
                     _bump("qpel")
                 continue
             mb_type -= 5  # intra MB in a P slice (Table 7-13 offset)

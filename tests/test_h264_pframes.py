@@ -70,38 +70,76 @@ class TestMotionPrimitives:
         # xFrac=4, yFrac=0: ((8-4)*8*80 + 4*8*160 + 32) >> 6 = 120
         assert (out[:, 0] == 120).all()
 
+    @staticmethod
+    def _grids(mbs_h, mbs_w):
+        """4x4-block-granularity (mvs4, inter4, decoded) grids; helper
+        to set a whole MB's blocks at once."""
+        mvs4 = np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
+        inter4 = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+        dec = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+
+        def set_mb(mbx, mby, mv=None):
+            y, x = mby * 4, mbx * 4
+            dec[y:y + 4, x:x + 4] = True
+            if mv is not None:
+                mvs4[y:y + 4, x:x + 4] = mv
+                inter4[y:y + 4, x:x + 4] = True
+        return mvs4, inter4, dec, set_mb
+
     def test_mv_median_prediction(self):
-        mvs = np.zeros((2, 3, 2), dtype=np.int32)
-        inter = np.zeros((2, 3), dtype=bool)
+        mvs4, inter4, dec, set_mb = self._grids(2, 3)
         # all three neighbors inter with distinct mvs -> median
-        mvs[1, 0] = (4, 8)    # A (left of (1,1))
-        mvs[0, 1] = (12, 0)   # B
-        mvs[0, 2] = (8, 20)   # C
-        inter[1, 0] = inter[0, 1] = inter[0, 2] = True
-        assert _mv_pred_16x16(mvs, inter, 1, 1) == (8, 8)
+        set_mb(0, 1, (4, 8))    # A (left of (1,1))
+        set_mb(1, 0, (12, 0))   # B
+        set_mb(2, 0, (8, 20))   # C
+        assert _mv_pred_16x16(mvs4, inter4, dec, 1, 1) == (8, 8)
         # exactly one inter neighbor -> its mv verbatim
-        inter[0, 1] = inter[0, 2] = False
-        assert _mv_pred_16x16(mvs, inter, 1, 1) == (4, 8)
+        inter4[0:4, 4:12] = False
+        assert _mv_pred_16x16(mvs4, inter4, dec, 1, 1) == (4, 8)
         # first row, only A in picture -> mvA
-        mvs[0, 0] = (-8, 4)
-        inter[0, 0] = True
-        assert _mv_pred_16x16(mvs, inter, 1, 0) == (-8, 4)
+        set_mb(0, 0, (-8, 4))
+        assert _mv_pred_16x16(mvs4, inter4, dec, 1, 0) == (-8, 4)
+
+    def test_mv_directional_prediction(self):
+        from sparksketch.h264 import _mv_pred
+        mvs4, inter4, dec, set_mb = self._grids(2, 3)
+        set_mb(0, 1, (4, 8))    # A of MB (1,1)
+        set_mb(1, 0, (12, 0))   # B
+        set_mb(2, 0, (8, 20))   # C
+        bx, by = 4, 4
+        # 16x8 top takes B verbatim, 8x16 left takes A (8.4.1.3)
+        assert _mv_pred(mvs4, inter4, dec, bx, by, 4,
+                        part="16x8_top") == (12, 0)
+        assert _mv_pred(mvs4, inter4, dec, bx, by, 2,
+                        part="8x16_left") == (4, 8)
+        # 8x16 right: C of the right half = up-right of the whole MB
+        assert _mv_pred(mvs4, inter4, dec, bx + 2, by, 2,
+                        part="8x16_right") == (8, 20)
+        # 16x8 bottom takes A; with the left MB intra it falls back to
+        # the median (which sees the top partition's mv as its B)
+        mvs4[by + 2:by + 4, bx:bx + 4] = 0
+        assert _mv_pred(mvs4, inter4, dec, bx, by + 2, 4,
+                        part="16x8_bot") == (4, 8)
+        inter4[4:8, 0:4] = False     # left MB now intra
+        mvs4[by:by + 2, bx:bx + 4] = (6, 6)   # decoded top partition
+        inter4[by:by + 2, bx:bx + 4] = True
+        dec[by:by + 2, bx:bx + 4] = True
+        got = _mv_pred(mvs4, inter4, dec, bx, by + 2, 4, part="16x8_bot")
+        assert got == (6, 6)  # exactly-one-inter-neighbor rule: B
 
     def test_skip_mv_rules(self):
-        mvs = np.zeros((2, 2, 2), dtype=np.int32)
-        inter = np.zeros((2, 2), dtype=bool)
+        mvs4, inter4, dec, set_mb = self._grids(2, 2)
         # edge MB (no A or B in picture) -> zero
-        assert _skip_mv(mvs, inter, 0, 0) == (0, 0)
-        assert _skip_mv(mvs, inter, 1, 0) == (0, 0)
+        assert _skip_mv(mvs4, inter4, dec, 0, 0) == (0, 0)
+        assert _skip_mv(mvs4, inter4, dec, 1, 0) == (0, 0)
         # interior with a zero-mv inter neighbor -> zero
-        mvs[1, 0] = (0, 0)
-        inter[1, 0] = True
-        mvs[0, 1] = (8, 8)
-        inter[0, 1] = True
-        assert _skip_mv(mvs, inter, 1, 1) == (0, 0)
+        set_mb(0, 1, (0, 0))
+        set_mb(1, 0, (8, 8))
+        set_mb(0, 0)
+        assert _skip_mv(mvs4, inter4, dec, 1, 1) == (0, 0)
         # interior, both neighbors moving -> the median predictor
-        mvs[1, 0] = (8, 4)
-        assert _skip_mv(mvs, inter, 1, 1) != (0, 0)
+        mvs4[4:8, 0:4] = (8, 4)
+        assert _skip_mv(mvs4, inter4, dec, 1, 1) != (0, 0)
 
 
 class TestGop:
@@ -214,8 +252,9 @@ class TestPDecoderGuards:
         w.se(0)
         w.ue(1)
         w.ue(0)      # mb_skip_run = 0
-        w.ue(1)      # mb_type 1: P_L0_L0_16x8 — outside the subset
-        with pytest.raises(NotImplementedError, match="P partitions"):
+        w.ue(3)      # mb_type 3: P_8x8
+        w.ue(1)      # sub_mb_type 1: P_L0_8x4 — outside the subset
+        with pytest.raises(NotImplementedError, match="sub-partitions"):
             decode_pframe_planes(bytes([0x61]) + w.rbsp(), sps, pps, ref)
 
     def test_skip_run_overrun_rejected(self):
