@@ -39,13 +39,14 @@ neighbors counting 16 per spec 9.2.1), Intra_4x4 most-probable-mode
 signalling (8.3.1.1) with decode-order sample availability, per-MB QP
 tracking via mb_qp_delta, and the chroma QP mapping of Table 8-15.
 Anything OUTSIDE the subset raises NotImplementedError naming the
-feature: the remaining seam is P_8x8 sub-blocks below 8x8 (8x4 / 4x8 /
-4x4), multiple references, B slices, CABAC, and the loop filter.
-Inside the subset as of round 5: quarter-sample luma motion (8.4.2.2.1:
-the 6-tap half-sample filter, the two-stage center sample, Table 8-12
-quarter averaging) and the P_16x8 / P_8x16 / P_8x8 partitionings
-(Table 7-13) with directional MV prediction (8.4.1.3) at 4x4-block
-granularity and sequential intra-MB partition prediction.
+feature: the remaining seam is multiple references, B slices, CABAC,
+and the loop filter.  Inside the subset as of round 5: quarter-sample
+luma motion (8.4.2.2.1: the 6-tap half-sample filter, the two-stage
+center sample, Table 8-12 quarter averaging) and the full P-slice
+partition tree — P_16x8 / P_8x16 (Table 7-13) and P_8x8 with 8x8 /
+8x4 / 4x8 / 4x4 sub-partitions (Table 7-14) — with directional MV
+prediction (8.4.1.3) at 4x4-block granularity and sequential intra-MB
+partition prediction.
 
 Why a per-macroblock Python loop is acceptable here: fixture media frames
 are tiny (a few dozen macroblocks) and the codec runs INSIDE mapInPandas —
@@ -584,6 +585,29 @@ _P_SHAPES = {
 _P_SHAPE_BY_TYPE = {mbt: (shape, plist)
                     for shape, (mbt, plist) in _P_SHAPES.items()}
 
+# P_8x8 sub-partition shapes (Table 7-14 sub_mb_type 0-3): (x, y) offset
+# and size in 4x4-block units relative to the 8x8 quadrant, in
+# sub-partition decode order.
+_SUB_SHAPES = {
+    0: [(0, 0, 2, 2)],                                   # P_L0_8x8
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],                     # P_L0_8x4
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],                     # P_L0_4x8
+    3: [(0, 0, 1, 1), (1, 0, 1, 1),
+        (0, 1, 1, 1), (1, 1, 1, 1)],                     # P_L0_4x4
+}
+# quadrant origins inside the MB, 4x4-block units, decode order
+_QUADRANTS = ((0, 0), (2, 0), (0, 2), (2, 2))
+
+
+def _p8x8_plist(sub_types):
+    """Partition list (tag, ox, oy, wb, hb) for a P_8x8 MB with the
+    given four sub_mb_types, in decode order."""
+    plist = []
+    for (qox, qoy), smt in zip(_QUADRANTS, sub_types):
+        for sox, soy, swb, shb in _SUB_SHAPES[smt]:
+            plist.append((None, qox + sox, qoy + soy, swb, shb))
+    return plist
+
 
 # ---------------------------------------------------------------------------
 # Intra_16x16 residual syntax (spec 7.3.5.3 residual_data, CAVLC) — the
@@ -1103,29 +1127,43 @@ def encode_pframe(rgb: np.ndarray,
                             sad = _sad(q)
                             if sad < best_l[0]:
                                 best_l = (sad, q)
-                return best_l[1]
+                return best_l[1], best_l[0]
+
+            # SAD-domain motion lambda for the per-quadrant sub-shape
+            # decision (the classic lambda_motion ~ sqrt(lambda_mode));
+            # rate counted as mvd magnitudes + per-shape header bits
+            lam_s = 0.92 * 2.0 ** ((qp - 12) / 6.0)
+            _SUB_HEAD = {0: 1, 1: 3, 2: 3, 3: 5}  # ue bits of sub_mb_type
 
             def _trial(shape, best16=None):
                 """Search one partitioning.  Partitions are predicted
                 and committed SEQUENTIALLY into scratch grids, because
-                the second partition's predictor reads the first's mv
-                (exactly what the decoder will reconstruct)."""
-                mbt, plist = _P_SHAPES[shape]
+                the next partition's predictor reads the previous ones'
+                mvs (exactly what the decoder will reconstruct).  For
+                P_8x8 every quadrant also chooses its sub_mb_type (8x8 /
+                8x4 / 4x8 / 4x4) by SAD + lambda*mvd-rate over a
+                quadrant-local scratch before committing."""
+                mbt, plist0 = _P_SHAPES[shape]
                 t_mvs, t_int = mvs4.copy(), inter4.copy()
                 t_dec = decoded.copy()
                 predY = np.empty((16, 16), dtype=np.uint8)
                 predCb = np.empty((8, 8), dtype=np.uint8)
                 predCr = np.empty((8, 8), dtype=np.uint8)
-                mv_list, mvd_list = [], []
-                for tag, ox, oy, wb, hb in plist:
+                mv_list, mvd_list, plist = [], [], []
+                sub_types = None
+
+                def _do_part(tag, ox, oy, wb, hb, grids):
+                    """Search one partition against ``grids`` and commit
+                    its mv there; returns (mv, mvd, sad)."""
+                    g_mvs, g_int, g_dec = grids
                     bx, by = bx0 + ox, by0 + oy
                     px, py = yx + ox * 4, yy + oy * 4
-                    mvp_p = _mv_pred(t_mvs, t_int, t_dec, bx, by, wb,
+                    mvp_p = _mv_pred(g_mvs, g_int, g_dec, bx, by, wb,
                                      part=tag)
                     c0 = ((mvp_p[0] + 2) >> 2, (mvp_p[1] + 2) >> 2)
                     if shape == "16x16":
-                        mv_p = _search_part(px, py, 16, 16, [c0], search,
-                                            first=[skipmv])
+                        mv_p, sad = _search_part(px, py, 16, 16, [c0],
+                                                 search, first=[skipmv])
                     else:
                         # sub-partition searches center on the partition's
                         # own predictor, the 16x16 winner, AND the origin
@@ -1136,24 +1174,85 @@ def encode_pframe(rgb: np.ndarray,
                         # already lives in the 16x16 trial
                         centers = [c0, (best16[0] >> 2, best16[1] >> 2),
                                    (0, 0)]
-                        mv_p = _search_part(px, py, wb * 4, hb * 4,
-                                            centers, 3)
+                        mv_p, sad = _search_part(px, py, wb * 4, hb * 4,
+                                                 centers, 3)
+                    g_mvs[by:by + hb, bx:bx + wb] = mv_p
+                    g_int[by:by + hb, bx:bx + wb] = True
+                    g_dec[by:by + hb, bx:bx + wb] = True
+                    return mv_p, (mv_p[0] - mvp_p[0],
+                                  mv_p[1] - mvp_p[1]), sad
+
+                def _commit(tag, ox, oy, wb, hb, mv_p, mvd):
                     predY[oy * 4:oy * 4 + hb * 4, ox * 4:ox * 4 + wb * 4] \
-                        = _mc_luma(refY, px, py, mv_p, (hb * 4, wb * 4))
+                        = _mc_luma(refY, yx + ox * 4, yy + oy * 4, mv_p,
+                                   (hb * 4, wb * 4))
                     predCb[oy * 2:oy * 2 + hb * 2, ox * 2:ox * 2 + wb * 2] \
                         = _mc_chroma(refCb, cx + ox * 2, cy + oy * 2,
                                      mv_p, (hb * 2, wb * 2))
                     predCr[oy * 2:oy * 2 + hb * 2, ox * 2:ox * 2 + wb * 2] \
                         = _mc_chroma(refCr, cx + ox * 2, cy + oy * 2,
                                      mv_p, (hb * 2, wb * 2))
+                    bx, by = bx0 + ox, by0 + oy
                     t_mvs[by:by + hb, bx:bx + wb] = mv_p
                     t_int[by:by + hb, bx:bx + wb] = True
                     t_dec[by:by + hb, bx:bx + wb] = True
                     mv_list.append(mv_p)
-                    mvd_list.append((mv_p[0] - mvp_p[0],
-                                     mv_p[1] - mvp_p[1]))
+                    mvd_list.append(mvd)
+                    plist.append((tag, ox, oy, wb, hb))
+
+                if shape == "8x8":
+                    sub_types = []
+                    for qox, qoy in _QUADRANTS:
+                        best_q = None
+                        for smt in (0, 1, 2, 3):
+                            q_grids = (t_mvs.copy(), t_int.copy(),
+                                       t_dec.copy())
+                            tot_sad, rate, recs = 0, _SUB_HEAD[smt], []
+                            for sox, soy, swb, shb in _SUB_SHAPES[smt]:
+                                ox, oy = qox + sox, qoy + soy
+                                mv_p, mvd, sad = _do_part(
+                                    None, ox, oy, swb, shb, q_grids)
+                                tot_sad += sad
+                                rate += 2 + abs(mvd[0]) + abs(mvd[1])
+                                recs.append((ox, oy, swb, shb, mv_p, mvd))
+                            cost = tot_sad + lam_s * rate
+                            if best_q is None or cost < best_q[0]:
+                                best_q = (cost, smt, recs, tot_sad)
+                            # an already well-matched 8x8 quadrant will
+                            # not buy back finer vectors' bits: skip
+                            # them.  The bar scales with the SAD-domain
+                            # lambda so low-qp (near-lossless) encodes
+                            # keep hunting for the exact vectors while
+                            # mid-qp encodes drop the 3x trial cost.
+                            if smt == 0 and tot_sad <= 48 * lam_s:
+                                break
+                        sub_types.append(best_q[1])
+                        for ox, oy, swb, shb, mv_p, mvd in best_q[2]:
+                            _commit(None, ox, oy, swb, shb, mv_p, mvd)
+                else:
+                    for tag, ox, oy, wb, hb in plist0:
+                        mv_p, mvd, sad = _do_part(tag, ox, oy, wb, hb,
+                                                  (t_mvs, t_int, t_dec))
+                        # _do_part already committed the grids; keep the
+                        # prediction planes and lists in step
+                        predY[oy * 4:oy * 4 + hb * 4,
+                              ox * 4:ox * 4 + wb * 4] = _mc_luma(
+                            refY, yx + ox * 4, yy + oy * 4, mv_p,
+                            (hb * 4, wb * 4))
+                        predCb[oy * 2:oy * 2 + hb * 2,
+                               ox * 2:ox * 2 + wb * 2] = _mc_chroma(
+                            refCb, cx + ox * 2, cy + oy * 2, mv_p,
+                            (hb * 2, wb * 2))
+                        predCr[oy * 2:oy * 2 + hb * 2,
+                               ox * 2:ox * 2 + wb * 2] = _mc_chroma(
+                            refCr, cx + ox * 2, cy + oy * 2, mv_p,
+                            (hb * 2, wb * 2))
+                        mv_list.append(mv_p)
+                        mvd_list.append(mvd)
+                        plist.append((tag, ox, oy, wb, hb))
                 return {"shape": shape, "mb_type": mbt, "plist": plist,
-                        "mvs": mv_list, "mvds": mvd_list, "predY": predY,
+                        "sub_types": sub_types, "mvs": mv_list,
+                        "mvds": mvd_list, "predY": predY,
                         "predCb": predCb, "predCr": predCr}
 
             def _cost(tr):
@@ -1205,8 +1304,12 @@ def encode_pframe(rgb: np.ndarray,
                     + sum(int(np.count_nonzero(a)) for a in acCr)
                 ssd = float(((oY64 - rY.astype(np.int64)) ** 2).sum())
                 mv_rate = sum(abs(dx) + abs(dy) for dx, dy in tr["mvds"])
-                head = {"16x16": 10, "16x8": 14, "8x16": 14,
-                        "8x8": 22}[tr["shape"]]
+                if tr["shape"] == "8x8":
+                    head = 12 + sum(_SUB_HEAD[s] for s in tr["sub_types"]) \
+                        + 2 * len(tr["mvds"])
+                else:
+                    head = {"16x16": 10, "16x8": 14,
+                            "8x16": 14}[tr["shape"]]
                 tr.update(blocks4=blocks4, cbp_luma4=cbp_luma4,
                           cbp=cbp_luma4 | (cbp_chroma << 4),
                           cbp_chroma=cbp_chroma, dcCb=dcCb, acCb=acCb,
@@ -1251,8 +1354,8 @@ def encode_pframe(rgb: np.ndarray,
                     pending_skip = 0
                     w.ue(bt["mb_type"])      # Table 7-13 partitioning
                     if bt["shape"] == "8x8":
-                        for _ in range(4):
-                            w.ue(0)          # sub_mb_type: P_L0_8x8
+                        for smt in bt["sub_types"]:
+                            w.ue(smt)        # sub_mb_type (Table 7-14)
                     for dx, dy in bt["mvds"]:
                         w.se(dx)             # mvd_l0 per partition
                         w.se(dy)
@@ -1511,13 +1614,13 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
             if mb_type < 5:  # inter MB (Table 7-13)
                 shape, plist = _P_SHAPE_BY_TYPE[
                     3 if mb_type == 4 else mb_type]  # 4 = P_8x8ref0
+                sub_types = None
                 if mb_type in (3, 4):
-                    for _ in range(4):  # sub_mb_type per 8x8 (Table 7-14)
-                        smt = r.ue()
-                        if smt != 0:
-                            raise NotImplementedError(
-                                "P_8x8 sub-partitions below 8x8 (8x4 / "
-                                "4x8 / 4x4) unsupported")
+                    sub_types = [r.ue() for _ in range(4)]  # Table 7-14
+                    if any(s > 3 for s in sub_types):
+                        raise ValueError(
+                            f"invalid sub_mb_type in {sub_types}")
+                    plist = _p8x8_plist(sub_types)
                 mvds = [(r.se(), r.se()) for _ in plist]
                 code_num = r.ue()
                 if code_num > 47:
@@ -1566,6 +1669,8 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                     predCr, dcCr, acCr, qpc)
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
                 _bump("p16" if shape == "16x16" else f"p{shape}")
+                if sub_types is not None and any(sub_types):
+                    _bump("psub")
                 if frac:
                     _bump("qpel")
                 continue

@@ -95,6 +95,27 @@ class TestPartitionExactness:
         assert st.get("p8x8", 0) >= 5, st
         assert st.get("pcm", 0) == 0, st
 
+    def test_4x4_subpartition_motion_exact(self):
+        """Motion alternating in a 4-px checkerboard: only P_8x8 with
+        4x4 (or mixed sub-8x8) sub-partitions can be residual-free."""
+        rng = np.random.default_rng(43)
+        base = (np.cumsum(rng.integers(0, 3, (32, 48)), axis=1)
+                % 170 + 40).astype(np.uint8)
+        shifts = {(0, 0): (1, 1), (1, 0): (-1, 1),
+                  (0, 1): (1, -1), (1, 1): (-1, -1)}
+        planes = {k: _shift(base, dx, dy) for k, (dx, dy) in shifts.items()}
+        curr = np.empty_like(base)
+        for y in range(32):
+            for xb in range(48 // 4):
+                k = (xb % 2, (y // 4) % 2)
+                curr[y, xb * 4:(xb + 1) * 4] = \
+                    planes[k][y, xb * 4:(xb + 1) * 4]
+        got, st = _roundtrip(base, curr, 48, 32)
+        assert np.array_equal(got, curr)
+        assert st.get("p8x8", 0) >= 5, st
+        assert st.get("psub", 0) >= 5, st
+        assert st.get("pcm", 0) == 0, st
+
     def test_uniform_motion_still_prefers_16x16(self):
         """When one vector explains the whole MB, the shared J must keep
         the cheap 16x16 shape (finer partitions pay mvd/header bits for

@@ -253,8 +253,9 @@ class TestPDecoderGuards:
         w.ue(1)
         w.ue(0)      # mb_skip_run = 0
         w.ue(3)      # mb_type 3: P_8x8
-        w.ue(1)      # sub_mb_type 1: P_L0_8x4 — outside the subset
-        with pytest.raises(NotImplementedError, match="sub-partitions"):
+        for smt in (4, 0, 0, 0):   # sub_mb_type 4: not in Table 7-14
+            w.ue(smt)
+        with pytest.raises(ValueError, match="sub_mb_type"):
             decode_pframe_planes(bytes([0x61]) + w.rbsp(), sps, pps, ref)
 
     def test_skip_run_overrun_rejected(self):
