@@ -697,9 +697,19 @@ def q_cube_role_tool_distinct(spark, sf_dir):
 
 
 def q_checkpoint_resume_distinct(spark, sf_dir):
-    """Checkpoint/resume lineage (north_rule): build half the partitions,
-    'crash', resume the rest, merge from the checkpoint — exact distinct
-    conversations via bottom-k (k >= distinct)."""
+    """Materialization lineage composite (one tagged row per tier, all
+    value-checked against the same exact distinct count):
+
+    - tier 'resume' — checkpoint/resume (north_rule): build half the
+      partitions, 'crash', resume the rest, merge from the checkpoint;
+    - tier 'view' — round 5: the MATERIALIZED SKETCH VIEW lifecycle
+      (view.py): materialize per-role sketch rows from half the facts,
+      append a segment from the other half (the daily-ingest shape),
+      query the global grouping set (merges across roles AND segments);
+    - tier 'view_compacted' — the same answer after view_compact folds
+      the segment log to one segment (pure sketch algebra, no rescan).
+
+    Exact regime throughout: bottom-k with k >= distinct."""
     import shutil
     import tempfile
     from sparksketch.agg import BottomKSpec
@@ -707,18 +717,32 @@ def q_checkpoint_resume_distinct(spark, sf_dir):
                                         merged_sketch_bytes, resume)
     from sparksketch.sketches import sketch_from_bytes
     from sparksketch.transcripts import transcripts_from_events
+    from sparksketch.view import (view_append, view_compact,
+                                  view_materialize, view_query)
     tr = transcripts_from_events(spark, sf_dir).repartition(8, "conv_id")
     spec = BottomKSpec(k=1 << 18)
     ckpt = tempfile.mkdtemp(prefix="sparksketch_ckpt_")
+    vdir = tempfile.mkdtemp(prefix="sparksketch_view_")
     try:
         checkpoint_partials(tr, spec, ["conv_id"], ckpt, "q",
                             only_pids={0, 1, 2, 3})
         resume(spark, tr, spec, ["conv_id"], ckpt, "q")
         sk = sketch_from_bytes(merged_sketch_bytes(spark, ckpt, "q"))
+        half = F.xxhash64("conv_id", "turn_idx") % 2 == 0
+        view_materialize(tr.filter(half), ["role"], spec, ["conv_id"],
+                         vdir)
+        view_append(tr.filter(~half), spec, ["conv_id"], vdir)
+        v1 = view_query(spark, vdir, group_cols=[]).collect()[0]
+        view_compact(spark, vdir)
+        v2 = view_query(spark, vdir, group_cols=[]).collect()[0]
+        rows = [("resume", int(round(sk.distinct_estimate()))),
+                ("view", int(round(v1["estimate"]))),
+                ("view_compacted", int(round(v2["estimate"])))]
         return spark.createDataFrame(
-            [(int(round(sk.distinct_estimate())),)], "distinct_convs bigint")
+            rows, "tier string, distinct_convs bigint").orderBy("tier")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)
 
 
 # -- rows-only (non-SQL-expressible) ----------------------------------------
@@ -1737,7 +1761,10 @@ def oracle_sql() -> dict[str, str]:
               "ORDER BY role, tool",
         "checkpoint_resume_distinct":
             _TRANSCRIPTS_CTE
-            + "SELECT count(DISTINCT conv_id) AS distinct_convs FROM t",
+            + "SELECT v.tier, "
+              "(SELECT count(DISTINCT conv_id) FROM t) AS distinct_convs "
+              "FROM (VALUES ('resume'), ('view'), ('view_compacted')) "
+              "v(tier) ORDER BY v.tier",
         "bloom_setops_estimates": """
 WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
      b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1),

@@ -1,0 +1,123 @@
+"""Materialized sketch views (sparksketch/view.py): incremental
+append, grouping-set queries, compaction, spec guard, and the
+exact-regime oracle — view estimates must EQUAL Spark SQL exact
+distinct counts when the bottom-k sketches are below capacity.
+"""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksketch.agg import BottomKSpec, HLLSpec
+from sparksketch.view import (view_append, view_compact, view_materialize,
+                              view_query, view_rows)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _exact(df, dims):
+    g = df.groupBy(*dims).agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.count(F.lit(1)).alias("exact_rows"))
+    return {tuple(r[d] for d in dims): (r["exact"], r["exact_rows"])
+            for r in g.collect()}
+
+
+class TestSketchView:
+    SPEC = BottomKSpec(k=65536)  # far above sf0.001 distinct counts
+
+    def _build(self, events, tmp_path, split_col="event_id"):
+        """Materialize from one half of the facts, append the other —
+        the daily-ingest shape."""
+        path = str(tmp_path / "view")
+        h = F.xxhash64(F.col(split_col).cast("string")) % 2 == 0
+        view_materialize(events.filter(h), ["event_type"], self.SPEC,
+                         ["user_id"], path)
+        seg = view_append(events.filter(~h), self.SPEC, ["user_id"], path)
+        assert seg == 1
+        return path
+
+    def test_append_then_query_exact(self, spark, events, tmp_path):
+        path = self._build(events, tmp_path)
+        got = {r["event_type"]: (r["estimate"], r["rows"])
+               for r in view_query(spark, path).collect()}
+        want = _exact(events, ["event_type"])
+        assert set(got) == {k[0] for k in want}
+        for (k,), (exact, exact_rows) in want.items():
+            est, rows = got[k]
+            assert est == exact, k        # bottom-k exact regime
+            assert rows == exact_rows
+
+    def test_rollup_to_global(self, spark, events, tmp_path):
+        path = self._build(events, tmp_path)
+        row = view_query(spark, path, group_cols=[]).collect()
+        assert len(row) == 1
+        assert row[0]["estimate"] == \
+            events.select("user_id").distinct().count()
+        assert row[0]["rows"] == events.count()
+
+    def test_where_prunes_before_merge(self, spark, events, tmp_path):
+        path = self._build(events, tmp_path)
+        some_type = events.select("event_type").first()[0]
+        got = view_query(spark, path,
+                         where=F.col("event_type") == some_type).collect()
+        assert len(got) == 1
+        exact = (events.filter(F.col("event_type") == some_type)
+                 .select("user_id").distinct().count())
+        assert got[0]["estimate"] == exact
+
+    def test_segment_restriction_is_partition_pruned(self, spark, events,
+                                                     tmp_path):
+        path = self._build(events, tmp_path)
+        # only segment 0: estimates reflect HALF the facts
+        half = view_query(spark, path, group_cols=[], segments=[0])
+        h = F.xxhash64(F.col("event_id").cast("string")) % 2 == 0
+        exact_half = (events.filter(h).select("user_id")
+                      .distinct().count())
+        assert half.collect()[0]["estimate"] == exact_half
+        # and the seg filter is PARTITION pruning in the physical scan
+        plan = view_rows(spark, path, group_cols=[],
+                         segments=[0])._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "PartitionFilters" in plan and "seg" in plan
+
+    def test_compact_preserves_estimates(self, spark, events, tmp_path):
+        path = self._build(events, tmp_path)
+        before = {r["event_type"]: r["estimate"]
+                  for r in view_query(spark, path).collect()}
+        seg = view_compact(spark, path)
+        after = {r["event_type"]: r["estimate"]
+                 for r in view_query(spark, path).collect()}
+        assert after == before
+        # one active segment now, and it is the new one
+        from sparksketch.view import _manifest_info
+        _, _, active, _, _ = _manifest_info(spark, path)
+        assert active == [seg]
+
+    def test_spec_mismatch_rejected(self, spark, events, tmp_path):
+        path = self._build(events, tmp_path)
+        with pytest.raises(ValueError, match="spec mismatch"):
+            view_append(events, HLLSpec(p=12), ["user_id"], path)
+
+    def test_unknown_group_col_rejected(self, spark, events, tmp_path):
+        path = self._build(events, tmp_path)
+        with pytest.raises(ValueError, match="not in view dims"):
+            view_query(spark, path, group_cols=["nope"])
+
+    def test_hll_view_within_bound(self, spark, events, tmp_path):
+        """Approximate-regime kind through the same lifecycle: HLL
+        estimates after materialize+append stay inside the 3-sigma
+        published bound per group."""
+        path = str(tmp_path / "hview")
+        spec = HLLSpec(p=12)
+        h = F.xxhash64(F.col("event_id").cast("string")) % 2 == 0
+        view_materialize(events.filter(h), ["event_type"], spec,
+                         ["user_id"], path)
+        view_append(events.filter(~h), spec, ["user_id"], path)
+        want = _exact(events, ["event_type"])
+        sigma = 1.04 / np.sqrt(1 << 12)
+        for r in view_query(spark, path).collect():
+            exact = want[(r["event_type"],)][0]
+            assert abs(r["estimate"] - exact) <= 3 * sigma * exact + 2
