@@ -153,6 +153,43 @@ def view_query(spark: SparkSession, path: str,
             .drop("sketch"))
 
 
+def view_stream_writer(dims: Sequence[str], spec: SketchSpec,
+                       cols: Sequence[str | Column], path: str):
+    """``foreachBatch`` sink: continuous view maintenance from a stream,
+    one segment per micro-batch, EXACTLY-ONCE across restarts.
+
+        q = (stream.writeStream
+             .foreachBatch(view_stream_writer(["role"], spec,
+                                              ["conv_id"], path))
+             .option("checkpointLocation", ckpt)
+             .start())
+
+    Structured Streaming re-delivers the last uncommitted batch after a
+    crash.  Segment files are immutable and the manifest note records
+    the batch id, so a replayed batch either finds its note (the prior
+    attempt committed — no-op) or redoes the whole append; partially
+    written segment files without a manifest row are unreachable by
+    queries, so the redo overwrites them harmlessly.  The first batch
+    creates the view."""
+    dims = list(dims)
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        spark = batch_df.sparkSession
+        note = f"stream_batch={batch_id}"
+        try:
+            _, _, _, _, rows_m = _manifest_info(spark, path)
+        except AnalysisException:  # no manifest yet: first batch creates
+            view_materialize(batch_df, dims, spec, cols, path, note=note)
+            return
+        if any(nt == note or nt.startswith(note + ";")
+               for *_a, nt in rows_m):
+            return  # replayed batch: the prior attempt committed
+        view_append(batch_df, spec, cols, path, note=note)
+
+    return fn
+
+
 def view_compact(spark: SparkSession, path: str,
                  note: str = "compact") -> int:
     """Fold the active segments into one (pure sketch algebra, no fact
@@ -163,8 +200,10 @@ def view_compact(spark: SparkSession, path: str,
     seg = max_seg + 1
     (merged.write.mode("overwrite")
      .parquet(_segments_path(path) + f"/seg={seg}"))
+    # notes are PRESERVED (the streaming writer's exactly-once check
+    # matches on them); the compaction marker is appended after ';'
     kept = [(s, sp, d, act and s not in active,
-             f"compacted into {seg}" if act and s in active else nt)
+             f"{nt}; compacted into {seg}" if act and s in active else nt)
             for s, sp, d, act, nt in rows_m]
     _write_manifest_rows(
         spark, path,

@@ -106,6 +106,47 @@ class TestSketchView:
         with pytest.raises(ValueError, match="not in view dims"):
             view_query(spark, path, group_cols=["nope"])
 
+    def test_stream_writer_exactly_once(self, spark, events, tmp_path):
+        """foreachBatch maintenance: one segment per micro-batch from a
+        file stream; a replayed batch id is a no-op; the final view
+        answers exactly."""
+        from sparksketch.view import _manifest_info, view_stream_writer
+        src = str(tmp_path / "src")
+        path = str(tmp_path / "sview")
+        # two source files -> two micro-batches (maxFilesPerTrigger=1);
+        # the file source needs a flat dir of files, so lift the part
+        # files out of the write directories
+        import glob
+        import shutil
+        h = F.xxhash64(F.col("event_id").cast("string")) % 2 == 0
+        events.filter(h).coalesce(1).write.parquet(src + "/a")
+        events.filter(~h).coalesce(1).write.parquet(src + "/b")
+        for i, d in enumerate(("a", "b")):
+            part = glob.glob(f"{src}/{d}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/{i:03d}.parquet")
+            shutil.rmtree(f"{src}/{d}")
+        schema = events.schema
+        writer = view_stream_writer(["event_type"], self.SPEC,
+                                    ["user_id"], path)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (stream.writeStream.foreachBatch(writer)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        _, _, active, _, rows_m = _manifest_info(spark, path)
+        assert len(active) == 2
+        notes = sorted(r[4] for r in rows_m)
+        assert notes == ["stream_batch=0", "stream_batch=1"]
+        # crash-replay of the last committed batch: a no-op
+        writer(events.filter(~h), 1)
+        _, _, active2, _, _ = _manifest_info(spark, path)
+        assert active2 == active
+        got = {r["event_type"]: r["estimate"]
+               for r in view_query(spark, path).collect()}
+        want = _exact(events, ["event_type"])
+        assert got == {k[0]: v[0] for k, v in want.items()}
+
     def test_hll_view_within_bound(self, spark, events, tmp_path):
         """Approximate-regime kind through the same lifecycle: HLL
         estimates after materialize+append stay inside the 3-sigma
