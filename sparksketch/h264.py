@@ -39,14 +39,16 @@ neighbors counting 16 per spec 9.2.1), Intra_4x4 most-probable-mode
 signalling (8.3.1.1) with decode-order sample availability, per-MB QP
 tracking via mb_qp_delta, and the chroma QP mapping of Table 8-15.
 Anything OUTSIDE the subset raises NotImplementedError naming the
-feature: the remaining seam is multiple references, B slices, CABAC,
-and the loop filter.  Inside the subset as of round 5: quarter-sample
-luma motion (8.4.2.2.1: the 6-tap half-sample filter, the two-stage
-center sample, Table 8-12 quarter averaging) and the full P-slice
-partition tree — P_16x8 / P_8x16 (Table 7-13) and P_8x8 with 8x8 /
-8x4 / 4x8 / 4x4 sub-partitions (Table 7-14) — with directional MV
-prediction (8.4.1.3) at 4x4-block granularity and sequential intra-MB
-partition prediction.
+feature: the remaining seam is B slices, CABAC, and the loop filter.
+Inside the subset as of round 5: quarter-sample luma motion
+(8.4.2.2.1: the 6-tap half-sample filter, the two-stage center sample,
+Table 8-12 quarter averaging); the full P-slice partition tree —
+P_16x8 / P_8x16 (Table 7-13) and P_8x8 with 8x8 / 8x4 / 4x8 / 4x4
+sub-partitions (Table 7-14) — with directional MV prediction (8.4.1.3)
+at 4x4-block granularity and sequential intra-MB partition prediction;
+and multiple reference pictures (sliding-window DPB, te(v) ref_idx_l0
+per partition / per 8x8 quadrant, refidx-keyed neighbor matching in
+the MV predictor, P_8x8ref0 inference).
 
 Why a per-macroblock Python loop is acceptable here: fixture media frames
 are tiny (a few dozen macroblocks) and the codec runs INSIDE mapInPandas —
@@ -483,66 +485,72 @@ def _mc_chroma(ref: np.ndarray, cx0: int, cy0: int,
              + (8 - xf) * yf * c + xf * yf * d + 32) >> 6).astype(np.uint8)
 
 
-def _nb_blk(mvs4: np.ndarray, inter4: np.ndarray, decoded: np.ndarray,
+def _nb_blk(mvs4: np.ndarray, ref4: np.ndarray, decoded: np.ndarray,
             bx: int, by: int):
-    """(mv, is_inter, available) for 4x4 luma block (bx, by) — available
+    """(mv, refidx, available) for 4x4 luma block (bx, by) — available
     means inside the picture AND already decoded (decode order matters
-    once partitions inside one MB predict from each other); an intra or
-    unavailable neighbor contributes mv 0 and no reference match (spec
-    8.4.1.3.2)."""
-    h4, w4 = inter4.shape
+    once partitions inside one MB predict from each other).  ``ref4``
+    holds the reference index per block, -1 for intra; an intra or
+    unavailable neighbor contributes mv 0 and refidx -1 (no reference
+    match, spec 8.4.1.3.2)."""
+    h4, w4 = ref4.shape
     if 0 <= bx < w4 and 0 <= by < h4 and decoded[by, bx]:
         return ((int(mvs4[by, bx, 0]), int(mvs4[by, bx, 1])),
-                bool(inter4[by, bx]), True)
-    return (0, 0), False, False
+                int(ref4[by, bx]), True)
+    return (0, 0), -1, False
 
 
-def _neighbor_mvs(mvs4: np.ndarray, inter4: np.ndarray,
+def _neighbor_mvs(mvs4: np.ndarray, ref4: np.ndarray,
                   decoded: np.ndarray, bx: int, by: int, w_blk: int):
     """A (left), B (up), C (up-right, with the D up-left substitution
     when C is unavailable) for the partition whose top-left 4x4 block is
     (bx, by) and whose width is ``w_blk`` blocks (8.4.1.3.2)."""
-    a = _nb_blk(mvs4, inter4, decoded, bx - 1, by)
-    b = _nb_blk(mvs4, inter4, decoded, bx, by - 1)
-    c = _nb_blk(mvs4, inter4, decoded, bx + w_blk, by - 1)
+    a = _nb_blk(mvs4, ref4, decoded, bx - 1, by)
+    b = _nb_blk(mvs4, ref4, decoded, bx, by - 1)
+    c = _nb_blk(mvs4, ref4, decoded, bx + w_blk, by - 1)
     if not c[2]:
-        c = _nb_blk(mvs4, inter4, decoded, bx - 1, by - 1)
+        c = _nb_blk(mvs4, ref4, decoded, bx - 1, by - 1)
     return a, b, c
 
 
-def _mv_pred(mvs4: np.ndarray, inter4: np.ndarray, decoded: np.ndarray,
-             bx: int, by: int, w_blk: int,
-             part: str | None = None) -> tuple[int, int]:
-    """MV predictor (spec 8.4.1.3) for a partition with one reference
-    picture, at 4x4-block granularity.  ``part`` selects the 16x8/8x16
-    directional rules (use the matching-reference neighbor verbatim):
-    '16x8_top' -> B, '16x8_bot' -> A, '8x16_left' -> A,
-    '8x16_right' -> C; all other shapes take the median."""
-    (a, ai, a_av), (b, bi, b_av), (c, ci, c_av) = \
-        _neighbor_mvs(mvs4, inter4, decoded, bx, by, w_blk)
-    if part == "16x8_top" and bi:
+def _mv_pred(mvs4: np.ndarray, ref4: np.ndarray, decoded: np.ndarray,
+             bx: int, by: int, w_blk: int, part: str | None = None,
+             refidx: int = 0) -> tuple[int, int]:
+    """MV predictor (spec 8.4.1.3) for a partition referencing picture
+    ``refidx``, at 4x4-block granularity.  ``part`` selects the
+    16x8/8x16 directional rules (use the neighbor verbatim when its
+    reference MATCHES): '16x8_top' -> B, '16x8_bot' -> A,
+    '8x16_left' -> A, '8x16_right' -> C; all other shapes take the
+    median.  In the median, an inter neighbor with a DIFFERENT refidx
+    still contributes its actual mv (only unavailable/intra neighbors
+    contribute 0) — but the exactly-one shortcut keys on refidx
+    equality."""
+    (a, ra, a_av), (b, rb, b_av), (c, rc, c_av) = \
+        _neighbor_mvs(mvs4, ref4, decoded, bx, by, w_blk)
+    if part == "16x8_top" and rb == refidx:
         return b
-    if part in ("16x8_bot", "8x16_left") and ai:
+    if part in ("16x8_bot", "8x16_left") and ra == refidx:
         return a
-    if part == "8x16_right" and ci:
+    if part == "8x16_right" and rc == refidx:
         return c
     if not b_av and not c_av and a_av:
         return a  # 8.4.1.3.1: only the left neighbor is in the picture
-    matches = [mv for mv, is_inter in ((a, ai), (b, bi), (c, ci))
-               if is_inter]
+    matches = [mv for mv, rn in ((a, ra), (b, rb), (c, rc))
+               if rn == refidx]
     if len(matches) == 1:  # exactly one neighbor references this picture
         return matches[0]
-    ax, ay = a if ai else (0, 0)
-    bx_, by_ = b if bi else (0, 0)
-    cx, cy_ = c if ci else (0, 0)
+    ax, ay = a if ra >= 0 else (0, 0)
+    bx_, by_ = b if rb >= 0 else (0, 0)
+    cx, cy_ = c if rc >= 0 else (0, 0)
     return (int(np.median([ax, bx_, cx])), int(np.median([ay, by_, cy_])))
 
 
-def _mv_pred_16x16(mvs4: np.ndarray, inter4: np.ndarray,
-                   decoded: np.ndarray, mbx: int, mby: int) \
-        -> tuple[int, int]:
+def _mv_pred_16x16(mvs4: np.ndarray, ref4: np.ndarray,
+                   decoded: np.ndarray, mbx: int, mby: int,
+                   refidx: int = 0) -> tuple[int, int]:
     """Median MV predictor for a P_L0_16x16 partition."""
-    return _mv_pred(mvs4, inter4, decoded, mbx * 4, mby * 4, 4)
+    return _mv_pred(mvs4, ref4, decoded, mbx * 4, mby * 4, 4,
+                    refidx=refidx)
 
 
 def _recon_luma_blocks4(pred: np.ndarray, blocks, qp: int) -> np.ndarray:
@@ -559,17 +567,17 @@ def _recon_luma_blocks4(pred: np.ndarray, blocks, qp: int) -> np.ndarray:
     return out
 
 
-def _skip_mv(mvs4: np.ndarray, inter4: np.ndarray, decoded: np.ndarray,
+def _skip_mv(mvs4: np.ndarray, ref4: np.ndarray, decoded: np.ndarray,
              mbx: int, mby: int) -> tuple[int, int]:
-    """P_Skip motion inference (spec 8.4.1.1)."""
+    """P_Skip motion inference (spec 8.4.1.1; always refidx 0)."""
     bx0, by0 = mbx * 4, mby * 4
-    a, ai, a_av = _nb_blk(mvs4, inter4, decoded, bx0 - 1, by0)
-    b, bi, b_av = _nb_blk(mvs4, inter4, decoded, bx0, by0 - 1)
+    a, ra, a_av = _nb_blk(mvs4, ref4, decoded, bx0 - 1, by0)
+    b, rb, b_av = _nb_blk(mvs4, ref4, decoded, bx0, by0 - 1)
     if not a_av or not b_av:
         return (0, 0)
-    if (ai and a == (0, 0)) or (bi and b == (0, 0)):
+    if (ra == 0 and a == (0, 0)) or (rb == 0 and b == (0, 0)):
         return (0, 0)
-    return _mv_pred_16x16(mvs4, inter4, decoded, mbx, mby)
+    return _mv_pred_16x16(mvs4, ref4, decoded, mbx, mby, refidx=0)
 
 
 # P macroblock partitionings (Table 7-13 mb_type 0-3): per partition its
@@ -1025,33 +1033,37 @@ def _emit_i16_in_p(w: _BitWriter, ctx: _CoeffCtx, mbx: int, mby: int,
 
 
 def encode_pframe(rgb: np.ndarray,
-                  ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                  ref,
                   qp: int = 26, pcm_mad: float = 4.0, frame_num: int = 1,
                   search: int = 8) -> bytes:
     """Encode one RGB frame as a P slice NAL (header byte 0x61) against
-    ``ref`` — the UNCROPPED reconstructed planes of the previous frame
-    (use :func:`encode_gop` to thread them automatically).
+    ``ref`` — the UNCROPPED reconstructed planes of the previous frame,
+    or a LIST of such plane tuples (reference list L0, index 0 = most
+    recent) for multi-reference prediction (use :func:`encode_gop` to
+    thread them automatically).
 
-    Per MB, in candidate order: P_Skip / P_L0_16x16 with a two-stage
-    motion search (+-``search`` integer positions around the rounded
-    median predictor, then half- and quarter-sample refinement rings
-    around the winner; SAD objective, P_Skip emitted when the chosen MV
-    equals the 8.4.1.1 inference and every quantized coefficient is
-    zero); Intra_16x16 fallback when motion compensation misses
-    ``pcm_mad``; lossless I_PCM as the last resort.  Intra_4x4 inside P
-    slices is decoder-only.  The encoder reconstructs through the
-    decoder's own functions, so decode keeps the bit-identity
-    contract."""
+    Per MB, in candidate order: P_Skip / inter partitions with a
+    two-stage motion search per partition per reference (+-``search``
+    integer positions around the rounded median predictor, then half-
+    and quarter-sample refinement rings around the winner; SAD + ref-bit
+    objective, P_Skip emitted when the 16x16 shape picks refidx 0, the
+    8.4.1.1 inference vector, and every quantized coefficient is zero);
+    Intra_16x16 fallback when motion compensation misses ``pcm_mad``;
+    lossless I_PCM as the last resort.  Intra_4x4 inside P slices is
+    decoder-only.  The encoder reconstructs through the decoder's own
+    functions, so decode keeps the bit-identity contract."""
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("encode_pframe expects (h, w, 3) RGB")
     if not 0 <= qp <= 51:
         raise ValueError(f"qp must be in [0, 51], got {qp}")
     Y, Cb, Cr = rgb_to_yuv420(rgb)
     Y, Cb, Cr = _pad_mb(Y, 16), _pad_mb(Cb, 8), _pad_mb(Cr, 8)
-    refY, refCb, refCr = ref
-    if refY.shape != Y.shape:
-        raise ValueError(
-            f"reference luma {refY.shape} != frame luma {Y.shape}")
+    refs = [ref] if isinstance(ref[0], np.ndarray) else list(ref)
+    for rY, _rCb, _rCr in refs:
+        if rY.shape != Y.shape:
+            raise ValueError(
+                f"reference luma {rY.shape} != frame luma {Y.shape}")
+    n_refs = len(refs)
     mbs_h, mbs_w = Y.shape[0] // 16, Y.shape[1] // 16
     recY = np.zeros_like(Y)
     recCb = np.zeros_like(Cb)
@@ -1060,9 +1072,18 @@ def encode_pframe(rgb: np.ndarray,
     decoded = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
     i4modes = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
     mvs4 = np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
-    inter4 = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+    ref4 = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
     qpc = hr.chroma_qp(qp, 0)
-    refY64 = refY.astype(np.int64)
+    refY64s = [r[0].astype(np.int64) for r in refs]
+
+    def _ref_bits(ri: int) -> int:
+        """te(v) bit cost of ref_idx_l0 (9.1: 1 bit when 2 refs are
+        active, ue(v) otherwise; absent with a single reference)."""
+        if n_refs == 1:
+            return 0
+        if n_refs == 2:
+            return 1
+        return 2 * int(ri + 1).bit_length() - 1
 
     w = _BitWriter()
     w.ue(0)                      # first_mb_in_slice
@@ -1070,7 +1091,11 @@ def encode_pframe(rgb: np.ndarray,
     w.ue(0)                      # pic_parameter_set_id
     w.u(frame_num % 256, 8)      # frame_num
     w.u((2 * frame_num) % 256, 8)  # pic_order_cnt_lsb
-    w.u(0, 1)                    # num_ref_idx_active_override_flag
+    if n_refs > 1:
+        w.u(1, 1)                # num_ref_idx_active_override_flag
+        w.ue(n_refs - 1)         # num_ref_idx_l0_active_minus1
+    else:
+        w.u(0, 1)                # num_ref_idx_active_override_flag
     w.u(0, 1)                    # ref_pic_list_modification_flag_l0
     w.u(0, 1)                    # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)                # slice_qp_delta
@@ -1085,17 +1110,19 @@ def encode_pframe(rgb: np.ndarray,
             oY = Y[yy:yy + 16, yx:yx + 16]
             oCb = Cb[cy:cy + 8, cx:cx + 8]
             oCr = Cr[cy:cy + 8, cx:cx + 8]
-            skipmv = _skip_mv(mvs4, inter4, decoded, mbx, mby)
+            skipmv = _skip_mv(mvs4, ref4, decoded, mbx, mby)
             oY64 = oY.astype(np.int64)
             lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
 
-            def _search_part(px, py, bw_, bh_, centers, radius, first=()):
+            def _search_part(px, py, bw_, bh_, centers, radius, ref64,
+                             first=()):
                 """Integer exhaustive search around each center, then
                 half- and quarter-sample refinement rings around the
-                winner (the classic two-stage fractional search).  The
-                ``first`` candidates (the exact, possibly fractional,
-                skip inference) are evaluated before everything else so
-                strict '<' comparisons keep P_Skip reachable on ties."""
+                winner (the classic two-stage fractional search), against
+                one reference picture.  The ``first`` candidates (the
+                exact, possibly fractional, skip inference) are evaluated
+                before everything else so strict '<' comparisons keep
+                P_Skip reachable on ties."""
                 o = Y[py:py + bh_, px:px + bw_].astype(np.int64)
                 best_l, seen = None, set()
                 cands = list(first) + [(0, 0)]
@@ -1106,7 +1133,7 @@ def encode_pframe(rgb: np.ndarray,
 
                 def _sad(q):
                     return int(np.abs(
-                        o - _mc_luma(refY64, px, py, q, (bh_, bw_))
+                        o - _mc_luma(ref64, px, py, q, (bh_, bw_))
                         .astype(np.int64)).sum())
 
                 for q in cands:
@@ -1139,120 +1166,137 @@ def encode_pframe(rgb: np.ndarray,
                 """Search one partitioning.  Partitions are predicted
                 and committed SEQUENTIALLY into scratch grids, because
                 the next partition's predictor reads the previous ones'
-                mvs (exactly what the decoder will reconstruct).  For
-                P_8x8 every quadrant also chooses its sub_mb_type (8x8 /
-                8x4 / 4x8 / 4x4) by SAD + lambda*mvd-rate over a
+                mvs and refidxs (exactly what the decoder will
+                reconstruct).  Each partition also picks its reference
+                picture (SAD + te(v) ref bits); for P_8x8 the quadrant's
+                reference is chosen by the 8x8-shape search and the
+                finer sub_mb_types (8x4 / 4x8 / 4x4) are then weighed on
+                that reference by SAD + lambda*mvd-rate over a
                 quadrant-local scratch before committing."""
                 mbt, plist0 = _P_SHAPES[shape]
-                t_mvs, t_int = mvs4.copy(), inter4.copy()
+                t_mvs, t_ref = mvs4.copy(), ref4.copy()
                 t_dec = decoded.copy()
                 predY = np.empty((16, 16), dtype=np.uint8)
                 predCb = np.empty((8, 8), dtype=np.uint8)
                 predCr = np.empty((8, 8), dtype=np.uint8)
-                mv_list, mvd_list, plist = [], [], []
+                mv_list, mvd_list, ri_list, plist = [], [], [], []
                 sub_types = None
 
-                def _do_part(tag, ox, oy, wb, hb, grids):
-                    """Search one partition against ``grids`` and commit
-                    its mv there; returns (mv, mvd, sad)."""
-                    g_mvs, g_int, g_dec = grids
+                def _do_part(tag, ox, oy, wb, hb, grids, fixed_ref=None):
+                    """Search one partition (over references unless
+                    ``fixed_ref`` pins one) against ``grids`` and commit
+                    its (mv, refidx) there; returns (mv, mvd, ri, cost)
+                    where cost folds the te(v) ref bits into the SAD."""
+                    g_mvs, g_ref, g_dec = grids
                     bx, by = bx0 + ox, by0 + oy
                     px, py = yx + ox * 4, yy + oy * 4
-                    mvp_p = _mv_pred(g_mvs, g_int, g_dec, bx, by, wb,
-                                     part=tag)
-                    c0 = ((mvp_p[0] + 2) >> 2, (mvp_p[1] + 2) >> 2)
-                    if shape == "16x16":
-                        mv_p, sad = _search_part(px, py, 16, 16, [c0],
-                                                 search, first=[skipmv])
-                    else:
-                        # sub-partition searches center on the partition's
-                        # own predictor, the 16x16 winner, AND the origin
-                        # (motion can OPPOSE the predictor — e.g. shearing
-                        # halves at a picture corner where the only
-                        # neighbor predicts the other half's vector), with
-                        # a small radius — the full-radius evidence
-                        # already lives in the 16x16 trial
-                        centers = [c0, (best16[0] >> 2, best16[1] >> 2),
-                                   (0, 0)]
-                        mv_p, sad = _search_part(px, py, wb * 4, hb * 4,
-                                                 centers, 3)
+                    ref_cands = ([fixed_ref] if fixed_ref is not None
+                                 else range(n_refs))
+                    best_r = None
+                    for ri in ref_cands:
+                        mvp_p = _mv_pred(g_mvs, g_ref, g_dec, bx, by, wb,
+                                         part=tag, refidx=ri)
+                        c0 = ((mvp_p[0] + 2) >> 2, (mvp_p[1] + 2) >> 2)
+                        if shape == "16x16":
+                            mv_p, sad = _search_part(
+                                px, py, 16, 16, [c0], search, refY64s[ri],
+                                first=[skipmv] if ri == 0 else ())
+                        else:
+                            # sub-partition searches center on the
+                            # partition's own predictor, the 16x16
+                            # winner, AND the origin (motion can OPPOSE
+                            # the predictor — e.g. shearing halves at a
+                            # picture corner where the only neighbor
+                            # predicts the other half's vector), with a
+                            # small radius — the full-radius evidence
+                            # already lives in the 16x16 trial
+                            centers = [c0,
+                                       (best16[0] >> 2, best16[1] >> 2),
+                                       (0, 0)]
+                            mv_p, sad = _search_part(
+                                px, py, wb * 4, hb * 4, centers, 3,
+                                refY64s[ri])
+                        cost = sad + lam_s * _ref_bits(ri)
+                        if best_r is None or cost < best_r[0]:
+                            best_r = (cost, mv_p, mvp_p, ri)
+                    cost, mv_p, mvp_p, ri = best_r
                     g_mvs[by:by + hb, bx:bx + wb] = mv_p
-                    g_int[by:by + hb, bx:bx + wb] = True
+                    g_ref[by:by + hb, bx:bx + wb] = ri
                     g_dec[by:by + hb, bx:bx + wb] = True
                     return mv_p, (mv_p[0] - mvp_p[0],
-                                  mv_p[1] - mvp_p[1]), sad
+                                  mv_p[1] - mvp_p[1]), ri, cost
 
-                def _commit(tag, ox, oy, wb, hb, mv_p, mvd):
+                def _commit(tag, ox, oy, wb, hb, mv_p, mvd, ri):
+                    rY_, rCb_, rCr_ = refs[ri]
                     predY[oy * 4:oy * 4 + hb * 4, ox * 4:ox * 4 + wb * 4] \
-                        = _mc_luma(refY, yx + ox * 4, yy + oy * 4, mv_p,
+                        = _mc_luma(rY_, yx + ox * 4, yy + oy * 4, mv_p,
                                    (hb * 4, wb * 4))
                     predCb[oy * 2:oy * 2 + hb * 2, ox * 2:ox * 2 + wb * 2] \
-                        = _mc_chroma(refCb, cx + ox * 2, cy + oy * 2,
+                        = _mc_chroma(rCb_, cx + ox * 2, cy + oy * 2,
                                      mv_p, (hb * 2, wb * 2))
                     predCr[oy * 2:oy * 2 + hb * 2, ox * 2:ox * 2 + wb * 2] \
-                        = _mc_chroma(refCr, cx + ox * 2, cy + oy * 2,
+                        = _mc_chroma(rCr_, cx + ox * 2, cy + oy * 2,
                                      mv_p, (hb * 2, wb * 2))
                     bx, by = bx0 + ox, by0 + oy
                     t_mvs[by:by + hb, bx:bx + wb] = mv_p
-                    t_int[by:by + hb, bx:bx + wb] = True
+                    t_ref[by:by + hb, bx:bx + wb] = ri
                     t_dec[by:by + hb, bx:bx + wb] = True
                     mv_list.append(mv_p)
                     mvd_list.append(mvd)
+                    ri_list.append(ri)
                     plist.append((tag, ox, oy, wb, hb))
 
+                quad_refs = None
                 if shape == "8x8":
-                    sub_types = []
+                    sub_types, quad_refs = [], []
                     for qox, qoy in _QUADRANTS:
-                        best_q = None
+                        best_q, qref = None, None
                         for smt in (0, 1, 2, 3):
-                            q_grids = (t_mvs.copy(), t_int.copy(),
+                            q_grids = (t_mvs.copy(), t_ref.copy(),
                                        t_dec.copy())
-                            tot_sad, rate, recs = 0, _SUB_HEAD[smt], []
+                            tot_cost, rate, recs = 0.0, _SUB_HEAD[smt], []
                             for sox, soy, swb, shb in _SUB_SHAPES[smt]:
                                 ox, oy = qox + sox, qoy + soy
-                                mv_p, mvd, sad = _do_part(
-                                    None, ox, oy, swb, shb, q_grids)
-                                tot_sad += sad
+                                mv_p, mvd, ri, cost = _do_part(
+                                    None, ox, oy, swb, shb, q_grids,
+                                    fixed_ref=qref)
+                                tot_cost += cost
                                 rate += 2 + abs(mvd[0]) + abs(mvd[1])
-                                recs.append((ox, oy, swb, shb, mv_p, mvd))
-                            cost = tot_sad + lam_s * rate
+                                recs.append((ox, oy, swb, shb, mv_p,
+                                             mvd, ri))
+                            if smt == 0:
+                                # the 8x8-shape search picks the
+                                # quadrant's reference; finer shapes
+                                # share it (ref_idx is per 8x8 in the
+                                # syntax)
+                                qref = recs[0][6]
+                            cost = tot_cost + lam_s * rate
                             if best_q is None or cost < best_q[0]:
-                                best_q = (cost, smt, recs, tot_sad)
+                                best_q = (cost, smt, recs)
                             # an already well-matched 8x8 quadrant will
                             # not buy back finer vectors' bits: skip
                             # them.  The bar scales with the SAD-domain
                             # lambda so low-qp (near-lossless) encodes
                             # keep hunting for the exact vectors while
                             # mid-qp encodes drop the 3x trial cost.
-                            if smt == 0 and tot_sad <= 48 * lam_s:
+                            if smt == 0 and tot_cost <= 48 * lam_s:
                                 break
                         sub_types.append(best_q[1])
-                        for ox, oy, swb, shb, mv_p, mvd in best_q[2]:
-                            _commit(None, ox, oy, swb, shb, mv_p, mvd)
+                        quad_refs.append(best_q[2][0][6])
+                        for ox, oy, swb, shb, mv_p, mvd, ri in best_q[2]:
+                            _commit(None, ox, oy, swb, shb, mv_p, mvd, ri)
                 else:
                     for tag, ox, oy, wb, hb in plist0:
-                        mv_p, mvd, sad = _do_part(tag, ox, oy, wb, hb,
-                                                  (t_mvs, t_int, t_dec))
-                        # _do_part already committed the grids; keep the
-                        # prediction planes and lists in step
-                        predY[oy * 4:oy * 4 + hb * 4,
-                              ox * 4:ox * 4 + wb * 4] = _mc_luma(
-                            refY, yx + ox * 4, yy + oy * 4, mv_p,
-                            (hb * 4, wb * 4))
-                        predCb[oy * 2:oy * 2 + hb * 2,
-                               ox * 2:ox * 2 + wb * 2] = _mc_chroma(
-                            refCb, cx + ox * 2, cy + oy * 2, mv_p,
-                            (hb * 2, wb * 2))
-                        predCr[oy * 2:oy * 2 + hb * 2,
-                               ox * 2:ox * 2 + wb * 2] = _mc_chroma(
-                            refCr, cx + ox * 2, cy + oy * 2, mv_p,
-                            (hb * 2, wb * 2))
-                        mv_list.append(mv_p)
-                        mvd_list.append(mvd)
-                        plist.append((tag, ox, oy, wb, hb))
+                        mv_p, mvd, ri, _cost_p = _do_part(
+                            tag, ox, oy, wb, hb, (t_mvs, t_ref, t_dec))
+                        # _do_part committed the grids; _commit rewrites
+                        # the same values and fills the prediction
+                        # planes and lists
+                        _commit(tag, ox, oy, wb, hb, mv_p, mvd, ri)
                 return {"shape": shape, "mb_type": mbt, "plist": plist,
                         "sub_types": sub_types, "mvs": mv_list,
-                        "mvds": mvd_list, "predY": predY,
+                        "mvds": mvd_list, "ris": ri_list,
+                        "quad_refs": quad_refs, "predY": predY,
                         "predCb": predCb, "predCr": predCr}
 
             def _cost(tr):
@@ -1306,10 +1350,12 @@ def encode_pframe(rgb: np.ndarray,
                 mv_rate = sum(abs(dx) + abs(dy) for dx, dy in tr["mvds"])
                 if tr["shape"] == "8x8":
                     head = 12 + sum(_SUB_HEAD[s] for s in tr["sub_types"]) \
-                        + 2 * len(tr["mvds"])
+                        + 2 * len(tr["mvds"]) \
+                        + sum(_ref_bits(ri) for ri in tr["quad_refs"])
                 else:
                     head = {"16x16": 10, "16x8": 14,
-                            "8x16": 14}[tr["shape"]]
+                            "8x16": 14}[tr["shape"]] \
+                        + sum(_ref_bits(ri) for ri in tr["ris"])
                 tr.update(blocks4=blocks4, cbp_luma4=cbp_luma4,
                           cbp=cbp_luma4 | (cbp_chroma << 4),
                           cbp_chroma=cbp_chroma, dcCb=dcCb, acCb=acCb,
@@ -1323,7 +1369,8 @@ def encode_pframe(rgb: np.ndarray,
             # a clean skip needs no other trials; otherwise weigh the
             # sub-partitionings (their finer vectors must BUY their extra
             # mvd/header bits through the shared J)
-            if not (t16["mvs"][0] == skipmv and t16["cbp"] == 0):
+            if not (t16["mvs"][0] == skipmv and t16["ris"][0] == 0
+                    and t16["cbp"] == 0):
                 for shape in ("16x8", "8x16", "8x8"):
                     tr = _cost(_trial(shape, best16=t16["mvs"][0]))
                     if tr["j"] < bt["j"]:
@@ -1347,7 +1394,7 @@ def encode_pframe(rgb: np.ndarray,
                 continue
             if pcm_mad >= 0 and bt["imad"] <= pcm_mad:
                 if bt["shape"] == "16x16" and bt["mvs"][0] == skipmv \
-                        and bt["cbp"] == 0:
+                        and bt["ris"][0] == 0 and bt["cbp"] == 0:
                     pending_skip += 1        # P_Skip
                 else:
                     w.ue(pending_skip)       # mb_skip_run
@@ -1356,6 +1403,16 @@ def encode_pframe(rgb: np.ndarray,
                     if bt["shape"] == "8x8":
                         for smt in bt["sub_types"]:
                             w.ue(smt)        # sub_mb_type (Table 7-14)
+                    if n_refs > 1:
+                        # ref_idx_l0, te(v): per partition, or per 8x8
+                        # quadrant for P_8x8 (7.3.5.1 / 7.3.5.2)
+                        for ri in (bt["quad_refs"]
+                                   if bt["shape"] == "8x8"
+                                   else bt["ris"]):
+                            if n_refs == 2:
+                                w.u(1 - ri, 1)
+                            else:
+                                w.ue(ri)
                     for dx, dy in bt["mvds"]:
                         w.se(dx)             # mvd_l0 per partition
                         w.se(dy)
@@ -1372,12 +1429,12 @@ def encode_pframe(rgb: np.ndarray,
                 recY[yy:yy + 16, yx:yx + 16] = bt["rY"]
                 recCb[cy:cy + 8, cx:cx + 8] = bt["rCb"]
                 recCr[cy:cy + 8, cx:cx + 8] = bt["rCr"]
-                for (tag, ox, oy, wb, hb), mv_p in zip(bt["plist"],
-                                                       bt["mvs"]):
+                for (tag, ox, oy, wb, hb), mv_p, ri in zip(
+                        bt["plist"], bt["mvs"], bt["ris"]):
                     mvs4[by0 + oy:by0 + oy + hb,
                          bx0 + ox:bx0 + ox + wb] = mv_p
-                    inter4[by0 + oy:by0 + oy + hb,
-                           bx0 + ox:bx0 + ox + wb] = True
+                    ref4[by0 + oy:by0 + oy + hb,
+                         bx0 + ox:bx0 + ox + wb] = ri
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
                 continue
             # Intra_16x16 fallback inside the P slice (motion missed)
@@ -1408,28 +1465,34 @@ def encode_pframe(rgb: np.ndarray,
 
 
 def encode_gop(frames, qp: int = 26, pcm_mad: float = 4.0,
-               search: int = 8) -> list[bytes]:
+               search: int = 8, n_refs: int = 1) -> list[bytes]:
     """Encode frames as an IDR-led GOP: frame 0 via encode_iframe, the
-    rest as P slices, threading each frame's DECODED reconstruction as
-    the next reference (the decoder's planes ARE the encoder's by the
-    bit-identity contract, so this doubles as a self-check).  Needs the
-    matching SPS/PPS fixed choices (mp4.encode_sps / encode_pps(True))
+    rest as P slices, threading each frame's DECODED reconstruction
+    through a sliding-window DPB of the last ``n_refs`` pictures
+    (reference list L0, most recent first — the decoder's planes ARE
+    the encoder's by the bit-identity contract, so this doubles as a
+    self-check).  Needs the matching SPS/PPS fixed choices
+    (mp4.encode_sps(..., max_num_ref_frames=n_refs) / encode_pps(True))
     only at decode time — the reference here is reconstructed with a
     synthetic uncropped geometry."""
     frames = list(frames)
     if not frames:
         raise ValueError("no frames")
+    if n_refs < 1:
+        raise ValueError("n_refs must be >= 1")
     h, w_, _ = frames[0].shape
     from .mp4 import encode_pps, encode_sps, parse_pps, parse_sps
-    sps = parse_sps(encode_sps(w_, h, fps=10.0))
+    sps = parse_sps(encode_sps(w_, h, fps=10.0,
+                               max_num_ref_frames=n_refs))
     pps = parse_pps(encode_pps(deblocking_control=True))
     out = [encode_iframe(frames[0], pcm_mad=pcm_mad, qp=qp)]
-    ref = _decode_slice(out[0], sps, pps, None)
+    dpb = [_decode_slice(out[0], sps, pps, None)]
     for i, fr in enumerate(frames[1:], start=1):
-        nal = encode_pframe(fr, ref, qp=qp, pcm_mad=pcm_mad,
+        nal = encode_pframe(fr, dpb, qp=qp, pcm_mad=pcm_mad,
                             frame_num=i, search=search)
         out.append(nal)
-        ref = _decode_slice(nal, sps, pps, ref)
+        dpb.insert(0, _decode_slice(nal, sps, pps, dpb))
+        del dpb[n_refs:]
     return out
 
 
@@ -1478,10 +1541,14 @@ def decode_gop(nals: list[bytes], sps: dict, pps: dict,
     order) to a list of (h, w, 3) RGB frames, threading each decoded
     picture as the next one's reference."""
     out = []
-    ref = None
+    dpb: list = []
+    n_refs = max(1, sps.get("max_num_ref_frames", 1))
     for nal in nals:
-        planes = _decode_slice(nal, sps, pps, ref, stats)
-        ref = planes
+        if (nal[0] & 0x1F) == 5:
+            dpb.clear()  # IDR resets the reference picture buffer
+        planes = _decode_slice(nal, sps, pps, dpb or None, stats)
+        dpb.insert(0, planes)
+        del dpb[n_refs:]
         out.append(yuv420_to_rgb(*_crop_planes(planes, sps)))
     return out
 
@@ -1497,8 +1564,12 @@ def _crop_planes(planes, sps: dict):
 
 
 def _decode_slice(nal: bytes, sps: dict, pps: dict,
-                  ref: tuple | None, stats: dict | None = None):
-    """Decode one I or P slice to UNCROPPED (Y, Cb, Cr) planes."""
+                  ref, stats: dict | None = None):
+    """Decode one I or P slice to UNCROPPED (Y, Cb, Cr) planes.
+
+    ``ref``: None (I slices), one (Y, Cb, Cr) planes tuple, or a LIST
+    of such tuples — reference list L0, index 0 = most recent decoded
+    picture (what :func:`decode_gop` threads)."""
     if not nal:
         raise ValueError("empty NAL")
     nal_type = nal[0] & 0x1F
@@ -1529,11 +1600,10 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
             r.se()
     if pps.get("redundant_pic_cnt_present"):
         r.ue()
+    n_active = 1 + pps.get("num_ref_idx_l0_default_active_minus1", 0)
     if is_p:
         if r.u(1):  # num_ref_idx_active_override_flag
-            if r.ue() != 0:  # num_ref_idx_l0_active_minus1
-                raise NotImplementedError(
-                    "multiple reference pictures unsupported")
+            n_active = 1 + r.ue()  # num_ref_idx_l0_active_minus1
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError(
                 "reference list modification unsupported")
@@ -1571,9 +1641,14 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
     i4modes = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
     qp_offset = pps.get("chroma_qp_index_offset", 0)
     if is_p:
-        refY, refCb, refCr = ref
+        refs = [ref] if isinstance(ref[0], np.ndarray) else list(ref)
+        if len(refs) < n_active:
+            raise ValueError(
+                f"slice declares {n_active} active references, decoder "
+                f"holds {len(refs)}")
+        refY, refCb, refCr = refs[0]
         mvs4 = np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
-        inter4 = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+        ref4 = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
 
     def _bump(key):
         if stats is not None:
@@ -1592,12 +1667,12 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                 yx, yy = mbx * 16, mby * 16
                 cx, cy = mbx * 8, mby * 8
                 bx0, by0 = mbx * 4, mby * 4
-                mv = _skip_mv(mvs4, inter4, decoded, mbx, mby)
+                mv = _skip_mv(mvs4, ref4, decoded, mbx, mby)
                 recY[yy:yy + 16, yx:yx + 16] = _mc_luma(refY, yx, yy, mv)
                 recCb[cy:cy + 8, cx:cx + 8] = _mc_chroma(refCb, cx, cy, mv)
                 recCr[cy:cy + 8, cx:cx + 8] = _mc_chroma(refCr, cx, cy, mv)
                 mvs4[by0:by0 + 4, bx0:bx0 + 4] = mv
-                inter4[by0:by0 + 4, bx0:bx0 + 4] = True
+                ref4[by0:by0 + 4, bx0:bx0 + 4] = 0
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
                 _bump("skip")
                 if mv[0] & 3 or mv[1] & 3:
@@ -1621,6 +1696,27 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                         raise ValueError(
                             f"invalid sub_mb_type in {sub_types}")
                     plist = _p8x8_plist(sub_types)
+
+                def _read_ref() -> int:
+                    if n_active == 1:
+                        return 0
+                    ri = (1 - r.u(1)) if n_active == 2 else r.ue()  # te(v)
+                    if ri >= n_active:
+                        raise ValueError(
+                            f"ref_idx_l0 {ri} >= active count {n_active}")
+                    return ri
+
+                # ref_idx_l0 precedes the mvds (7.3.5.1/7.3.5.2): one per
+                # partition, or one per 8x8 quadrant (its sub-partitions
+                # share it); P_8x8ref0 (mb_type 4) infers 0
+                if mb_type in (3, 4):
+                    quad_refs = ([0] * 4 if mb_type == 4
+                                 else [_read_ref() for _ in range(4)])
+                    prefs = []
+                    for qi, smt in enumerate(sub_types):
+                        prefs += [quad_refs[qi]] * len(_SUB_SHAPES[smt])
+                else:
+                    prefs = [_read_ref() for _ in plist]
                 mvds = [(r.se(), r.se()) for _ in plist]
                 code_num = r.ue()
                 if code_num > 47:
@@ -1638,28 +1734,31 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                 predY = np.empty((16, 16), dtype=np.uint8)
                 predCb = np.empty((8, 8), dtype=np.uint8)
                 predCr = np.empty((8, 8), dtype=np.uint8)
-                frac = False
+                frac = multiref = False
                 # partitions reconstruct sequentially: the second one's
-                # predictor reads the first's mv from the block grids
-                for (tag, ox, oy, wb, hb), mvd in zip(plist, mvds):
+                # predictor reads the first's mv/refidx from the grids
+                for (tag, ox, oy, wb, hb), mvd, ri in zip(plist, mvds,
+                                                          prefs):
                     bx, by = bx0 + ox, by0 + oy
                     px, py = yx + ox * 4, yy + oy * 4
-                    mvp = _mv_pred(mvs4, inter4, decoded, bx, by, wb,
-                                   part=tag)
+                    mvp = _mv_pred(mvs4, ref4, decoded, bx, by, wb,
+                                   part=tag, refidx=ri)
                     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
                     frac = frac or bool(mv[0] & 3 or mv[1] & 3)
+                    multiref = multiref or ri > 0
+                    rY_, rCb_, rCr_ = refs[ri]
                     predY[oy * 4:oy * 4 + hb * 4, ox * 4:ox * 4 + wb * 4] \
-                        = _mc_luma(refY, px, py, mv, (hb * 4, wb * 4))
+                        = _mc_luma(rY_, px, py, mv, (hb * 4, wb * 4))
                     predCb[oy * 2:oy * 2 + hb * 2,
                            ox * 2:ox * 2 + wb * 2] = _mc_chroma(
-                        refCb, cx + ox * 2, cy + oy * 2, mv,
+                        rCb_, cx + ox * 2, cy + oy * 2, mv,
                         (hb * 2, wb * 2))
                     predCr[oy * 2:oy * 2 + hb * 2,
                            ox * 2:ox * 2 + wb * 2] = _mc_chroma(
-                        refCr, cx + ox * 2, cy + oy * 2, mv,
+                        rCr_, cx + ox * 2, cy + oy * 2, mv,
                         (hb * 2, wb * 2))
                     mvs4[by:by + hb, bx:bx + wb] = mv
-                    inter4[by:by + hb, bx:bx + wb] = True
+                    ref4[by:by + hb, bx:bx + wb] = ri
                     decoded[by:by + hb, bx:bx + wb] = True
                 recY[yy:yy + 16, yx:yx + 16] = _recon_luma_blocks4(
                     predY, blocks4, qp)
@@ -1673,6 +1772,8 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                     _bump("psub")
                 if frac:
                     _bump("qpel")
+                if multiref:
+                    _bump("multiref")
                 continue
             mb_type -= 5  # intra MB in a P slice (Table 7-13 offset)
         if mb_type == 25:  # I_PCM

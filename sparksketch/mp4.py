@@ -247,7 +247,7 @@ def parse_sps(nal: bytes) -> dict:
         r.se()
         for _ in range(r.ue()):
             r.se()
-    r.ue()  # max_num_ref_frames
+    max_num_ref_frames = r.ue()
     r.u(1)  # gaps_in_frame_num_value_allowed
     pic_width_mbs = r.ue() + 1
     pic_height_units = r.ue() + 1
@@ -287,6 +287,7 @@ def parse_sps(nal: bytes) -> dict:
                 # fixed frame rate: one frame = 2 ticks (spec E-1)
                 fps = time_scale / (2.0 * num_units)
     return {"profile_idc": profile_idc, "level_idc": level_idc,
+            "max_num_ref_frames": max_num_ref_frames,
             "width": width, "height": height, "fps": fps,
             "chroma_format_idc": chroma_format_idc,
             # slice-header bookkeeping (consumed by sparksketch.h264):
@@ -299,7 +300,8 @@ def parse_sps(nal: bytes) -> dict:
 
 
 def encode_sps(width: int, height: int, profile_idc: int = 66,
-               level_idc: int = 30, fps: float | None = None) -> bytes:
+               level_idc: int = 30, fps: float | None = None,
+               max_num_ref_frames: int = 1) -> bytes:
     """Synthesize a conformant baseline/main-profile SPS NAL declaring the
     given TRUE frame dimensions (macroblock-aligned size + frame
     cropping) and optional VUI fps — the ground-truth generator for the
@@ -322,7 +324,7 @@ def encode_sps(width: int, height: int, profile_idc: int = 66,
     w.ue(4)  # log2_max_frame_num_minus4
     w.ue(0)  # pic_order_cnt_type = 0
     w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
-    w.ue(1)  # max_num_ref_frames
+    w.ue(max_num_ref_frames)
     w.u(0, 1)  # gaps_in_frame_num_value_allowed
     w.ue(mbs_w - 1)
     w.ue(mbs_h - 1)

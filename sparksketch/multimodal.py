@@ -23,10 +23,10 @@ Decode support has three tiers:
    now decode for real too (sparksketch/h264.py: slice headers,
    macroblock layer, I_PCM + Intra_16x16 + Intra_4x4 with full CAVLC
    coefficient residuals via sparksketch/h264_residual.py,
-   ``h264_frame_features`` below, plus P slices: P_Skip and the full
-   partition tree down to 4x4 sub-blocks with quarter-sample luma and
-   eighth-sample chroma motion compensation so IDR-led GOPs decode
-   end-to-end); multi-reference / B slices / CABAC / deblocking /
+   ``h264_frame_features`` below, plus P slices: P_Skip, the full
+   partition tree down to 4x4 sub-blocks, multiple reference pictures,
+   and quarter-sample luma / eighth-sample chroma motion compensation
+   so IDR-led GOPs decode end-to-end); B slices / CABAC / deblocking /
    H.265 remain the documented seam a full codec library would fill.
 """
 

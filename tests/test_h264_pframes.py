@@ -72,74 +72,93 @@ class TestMotionPrimitives:
 
     @staticmethod
     def _grids(mbs_h, mbs_w):
-        """4x4-block-granularity (mvs4, inter4, decoded) grids; helper
-        to set a whole MB's blocks at once."""
+        """4x4-block-granularity (mvs4, ref4, decoded) grids; helper to
+        set a whole MB's blocks at once (ref4 holds the reference index,
+        -1 = intra/undecoded)."""
         mvs4 = np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
-        inter4 = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+        ref4 = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
         dec = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
 
-        def set_mb(mbx, mby, mv=None):
+        def set_mb(mbx, mby, mv=None, ri=0):
             y, x = mby * 4, mbx * 4
             dec[y:y + 4, x:x + 4] = True
             if mv is not None:
                 mvs4[y:y + 4, x:x + 4] = mv
-                inter4[y:y + 4, x:x + 4] = True
-        return mvs4, inter4, dec, set_mb
+                ref4[y:y + 4, x:x + 4] = ri
+        return mvs4, ref4, dec, set_mb
 
     def test_mv_median_prediction(self):
-        mvs4, inter4, dec, set_mb = self._grids(2, 3)
+        mvs4, ref4, dec, set_mb = self._grids(2, 3)
         # all three neighbors inter with distinct mvs -> median
         set_mb(0, 1, (4, 8))    # A (left of (1,1))
         set_mb(1, 0, (12, 0))   # B
         set_mb(2, 0, (8, 20))   # C
-        assert _mv_pred_16x16(mvs4, inter4, dec, 1, 1) == (8, 8)
+        assert _mv_pred_16x16(mvs4, ref4, dec, 1, 1) == (8, 8)
         # exactly one inter neighbor -> its mv verbatim
-        inter4[0:4, 4:12] = False
-        assert _mv_pred_16x16(mvs4, inter4, dec, 1, 1) == (4, 8)
+        ref4[0:4, 4:12] = -1
+        assert _mv_pred_16x16(mvs4, ref4, dec, 1, 1) == (4, 8)
         # first row, only A in picture -> mvA
         set_mb(0, 0, (-8, 4))
-        assert _mv_pred_16x16(mvs4, inter4, dec, 1, 0) == (-8, 4)
+        assert _mv_pred_16x16(mvs4, ref4, dec, 1, 0) == (-8, 4)
+
+    def test_mv_refidx_matching(self):
+        """8.4.1.3.1: the exactly-one shortcut keys on refidx equality;
+        neighbors on OTHER references still contribute their mvs to the
+        median."""
+        mvs4, ref4, dec, set_mb = self._grids(2, 3)
+        set_mb(0, 1, (4, 8), ri=1)   # A on ref 1
+        set_mb(1, 0, (12, 0), ri=0)  # B on ref 0
+        set_mb(2, 0, (8, 20), ri=0)  # C on ref 0
+        # predicting for refidx 1: only A matches -> its mv verbatim
+        assert _mv_pred_16x16(mvs4, ref4, dec, 1, 1, refidx=1) == (4, 8)
+        # predicting for refidx 0: B and C match (two) -> median of all
+        # three actual mvs (A contributes (4,8) despite ref 1)
+        assert _mv_pred_16x16(mvs4, ref4, dec, 1, 1, refidx=0) == (8, 8)
 
     def test_mv_directional_prediction(self):
         from sparksketch.h264 import _mv_pred
-        mvs4, inter4, dec, set_mb = self._grids(2, 3)
+        mvs4, ref4, dec, set_mb = self._grids(2, 3)
         set_mb(0, 1, (4, 8))    # A of MB (1,1)
         set_mb(1, 0, (12, 0))   # B
         set_mb(2, 0, (8, 20))   # C
         bx, by = 4, 4
         # 16x8 top takes B verbatim, 8x16 left takes A (8.4.1.3)
-        assert _mv_pred(mvs4, inter4, dec, bx, by, 4,
+        assert _mv_pred(mvs4, ref4, dec, bx, by, 4,
                         part="16x8_top") == (12, 0)
-        assert _mv_pred(mvs4, inter4, dec, bx, by, 2,
+        assert _mv_pred(mvs4, ref4, dec, bx, by, 2,
                         part="8x16_left") == (4, 8)
         # 8x16 right: C of the right half = up-right of the whole MB
-        assert _mv_pred(mvs4, inter4, dec, bx + 2, by, 2,
+        assert _mv_pred(mvs4, ref4, dec, bx + 2, by, 2,
                         part="8x16_right") == (8, 20)
         # 16x8 bottom takes A; with the left MB intra it falls back to
         # the median (which sees the top partition's mv as its B)
         mvs4[by + 2:by + 4, bx:bx + 4] = 0
-        assert _mv_pred(mvs4, inter4, dec, bx, by + 2, 4,
+        assert _mv_pred(mvs4, ref4, dec, bx, by + 2, 4,
                         part="16x8_bot") == (4, 8)
-        inter4[4:8, 0:4] = False     # left MB now intra
+        ref4[4:8, 0:4] = -1     # left MB now intra
         mvs4[by:by + 2, bx:bx + 4] = (6, 6)   # decoded top partition
-        inter4[by:by + 2, bx:bx + 4] = True
+        ref4[by:by + 2, bx:bx + 4] = 0
         dec[by:by + 2, bx:bx + 4] = True
-        got = _mv_pred(mvs4, inter4, dec, bx, by + 2, 4, part="16x8_bot")
+        got = _mv_pred(mvs4, ref4, dec, bx, by + 2, 4, part="16x8_bot")
         assert got == (6, 6)  # exactly-one-inter-neighbor rule: B
 
     def test_skip_mv_rules(self):
-        mvs4, inter4, dec, set_mb = self._grids(2, 2)
+        mvs4, ref4, dec, set_mb = self._grids(2, 2)
         # edge MB (no A or B in picture) -> zero
-        assert _skip_mv(mvs4, inter4, dec, 0, 0) == (0, 0)
-        assert _skip_mv(mvs4, inter4, dec, 1, 0) == (0, 0)
-        # interior with a zero-mv inter neighbor -> zero
+        assert _skip_mv(mvs4, ref4, dec, 0, 0) == (0, 0)
+        assert _skip_mv(mvs4, ref4, dec, 1, 0) == (0, 0)
+        # interior with a zero-mv ref-0 inter neighbor -> zero
         set_mb(0, 1, (0, 0))
         set_mb(1, 0, (8, 8))
         set_mb(0, 0)
-        assert _skip_mv(mvs4, inter4, dec, 1, 1) == (0, 0)
+        assert _skip_mv(mvs4, ref4, dec, 1, 1) == (0, 0)
         # interior, both neighbors moving -> the median predictor
         mvs4[4:8, 0:4] = (8, 4)
-        assert _skip_mv(mvs4, inter4, dec, 1, 1) != (0, 0)
+        assert _skip_mv(mvs4, ref4, dec, 1, 1) != (0, 0)
+        # a zero-mv neighbor on ref 1 does NOT trigger the zero rule
+        mvs4[4:8, 0:4] = (0, 0)
+        ref4[4:8, 0:4] = 1
+        assert _skip_mv(mvs4, ref4, dec, 1, 1) != (0, 0)
 
 
 class TestGop:
