@@ -39,8 +39,11 @@ neighbors counting 16 per spec 9.2.1), Intra_4x4 most-probable-mode
 signalling (8.3.1.1) with decode-order sample availability, per-MB QP
 tracking via mb_qp_delta, and the chroma QP mapping of Table 8-15.
 Anything OUTSIDE the subset raises NotImplementedError naming the
-feature: the remaining seam is B slices, CABAC, and the loop filter.
-Inside the subset as of round 5: quarter-sample luma motion
+feature: the remaining seam is B direct/skip modes and sub-16x16 B
+partitions, weighted prediction, CABAC, and the loop filter.  Inside
+the subset as of round 5: B slices (B_L0_16x16 / B_L1_16x16 /
+B_Bi_16x16 with default-average biprediction, non-reference NALs,
+POC-split reference lists, display-order reordering in decode_gop); quarter-sample luma motion
 (8.4.2.2.1: the 6-tap half-sample filter, the two-stage center sample,
 Table 8-12 quarter averaging); the full P-slice partition tree —
 P_16x8 / P_8x16 (Table 7-13) and P_8x8 with 8x8 / 8x4 / 4x8 / 4x4
@@ -1020,10 +1023,11 @@ def _try_i16_in_p(oY, oCb, oCr, recY, recCb, recCr, yx, yy, cx, cy,
 
 
 def _emit_i16_in_p(w: _BitWriter, ctx: _CoeffCtx, mbx: int, mby: int,
-                   cand: dict) -> None:
+                   cand: dict, offset: int = 5) -> None:
     """Write one Intra_16x16 MB inside a P slice (Table 7-13: the
-    I-slice mb_type shifted by 5)."""
-    w.ue(5 + 1 + cand["lmode"] + 4 * cand["cbp_c"]
+    I-slice mb_type shifted by 5) or a B slice (offset 23,
+    Table 7-14)."""
+    w.ue(offset + 1 + cand["lmode"] + 4 * cand["cbp_c"]
          + (12 if cand["cbp_l"] else 0))
     w.ue(cand["cmode"])
     w.se(0)  # mb_qp_delta
@@ -1035,7 +1039,7 @@ def _emit_i16_in_p(w: _BitWriter, ctx: _CoeffCtx, mbx: int, mby: int,
 def encode_pframe(rgb: np.ndarray,
                   ref,
                   qp: int = 26, pcm_mad: float = 4.0, frame_num: int = 1,
-                  search: int = 8) -> bytes:
+                  search: int = 8, poc: int | None = None) -> bytes:
     """Encode one RGB frame as a P slice NAL (header byte 0x61) against
     ``ref`` — the UNCROPPED reconstructed planes of the previous frame,
     or a LIST of such plane tuples (reference list L0, index 0 = most
@@ -1090,7 +1094,10 @@ def encode_pframe(rgb: np.ndarray,
     w.ue(5)                      # slice_type: P (all slices)
     w.ue(0)                      # pic_parameter_set_id
     w.u(frame_num % 256, 8)      # frame_num
-    w.u((2 * frame_num) % 256, 8)  # pic_order_cnt_lsb
+    # pic_order_cnt_lsb: DISPLAY order (decouples from frame_num once
+    # B pictures reorder the stream; defaults to 2*frame_num for the
+    # classic all-P GOP)
+    w.u((2 * frame_num if poc is None else poc) % 256, 8)
     if n_refs > 1:
         w.u(1, 1)                # num_ref_idx_active_override_flag
         w.ue(n_refs - 1)         # num_ref_idx_l0_active_minus1
@@ -1496,6 +1503,278 @@ def encode_gop(frames, qp: int = 26, pcm_mad: float = 4.0,
     return out
 
 
+def encode_bframe(rgb: np.ndarray,
+                  ref_l0: tuple[np.ndarray, np.ndarray, np.ndarray],
+                  ref_l1: tuple[np.ndarray, np.ndarray, np.ndarray],
+                  qp: int = 26, pcm_mad: float = 4.0, frame_num: int = 1,
+                  poc: int = 0, search: int = 8) -> bytes:
+    """Encode one RGB frame as a non-reference B slice NAL (header byte
+    0x01: nal_ref_idc 0) predicting from a past (``ref_l0``) and a
+    future (``ref_l1``) reconstructed picture — B_L0_16x16 /
+    B_L1_16x16 / B_Bi_16x16 per MB by the shared J decision (default
+    biprediction = the (p0+p1+1)>>1 average, weighted_bipred_idc 0),
+    with Intra_16x16 / I_PCM fallbacks.  ``poc`` is the DISPLAY index
+    (pic_order_cnt_lsb = 2*poc), which for a B picture differs from
+    decode order; the decoder rebuilds the same L0/L1 lists from POC.
+    Direct/skip modes and sub-16x16 B partitions are the documented
+    seam."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_bframe expects (h, w, 3) RGB")
+    if not 0 <= qp <= 51:
+        raise ValueError(f"qp must be in [0, 51], got {qp}")
+    Y, Cb, Cr = rgb_to_yuv420(rgb)
+    Y, Cb, Cr = _pad_mb(Y, 16), _pad_mb(Cb, 8), _pad_mb(Cr, 8)
+    for rY, _a, _b in (ref_l0, ref_l1):
+        if rY.shape != Y.shape:
+            raise ValueError(
+                f"reference luma {rY.shape} != frame luma {Y.shape}")
+    refs = (ref_l0, ref_l1)
+    refY64s = [r[0].astype(np.int64) for r in refs]
+    mbs_h, mbs_w = Y.shape[0] // 16, Y.shape[1] // 16
+    recY, recCb, recCr = (np.zeros_like(Y), np.zeros_like(Cb),
+                          np.zeros_like(Cr))
+    ctx = _CoeffCtx(mbs_w, mbs_h)
+    decoded = np.zeros((mbs_h * 4, mbs_w * 4), dtype=bool)
+    mvs4b = [np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
+             for _ in range(2)]
+    ref4b = [np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
+             for _ in range(2)]
+    qpc = hr.chroma_qp(qp, 0)
+    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+
+    w = _BitWriter()
+    w.ue(0)                      # first_mb_in_slice
+    w.ue(6)                      # slice_type: B (all slices)
+    w.ue(0)                      # pic_parameter_set_id
+    w.u(frame_num % 256, 8)      # frame_num
+    w.u((2 * poc) % 256, 8)      # pic_order_cnt_lsb (display order)
+    w.u(1, 1)                    # direct_spatial_mv_pred_flag
+    w.u(0, 1)                    # num_ref_idx_active_override_flag
+    w.u(0, 1)                    # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                    # ref_pic_list_modification_flag_l1
+    # nal_ref_idc == 0: no dec_ref_pic_marking
+    w.se(qp - 26)                # slice_qp_delta
+    w.ue(1)                      # disable_deblocking_filter_idc
+
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            yx, yy = mbx * 16, mby * 16
+            cx, cy = mbx * 8, mby * 8
+            bx0, by0 = mbx * 4, mby * 4
+            oY = Y[yy:yy + 16, yx:yx + 16]
+            oCb = Cb[cy:cy + 8, cx:cx + 8]
+            oCr = Cr[cy:cy + 8, cx:cx + 8]
+            oY64 = oY.astype(np.int64)
+
+            def _list_best(li):
+                """Best 16x16 mv against list ``li``'s reference (the
+                same two-stage search the P encoder runs)."""
+                mvp = _mv_pred(mvs4b[li], ref4b[li], decoded, bx0, by0, 4)
+                c0 = ((mvp[0] + 2) >> 2, (mvp[1] + 2) >> 2)
+                best_l, seen = None, set()
+                cands = [(0, 0)] + [
+                    (4 * (c0[0] + dx), 4 * (c0[1] + dy))
+                    for dy in range(-search, search + 1)
+                    for dx in range(-search, search + 1)]
+
+                def _sad(q):
+                    return int(np.abs(
+                        oY64 - _mc_luma(refY64s[li], yx, yy, q)
+                        .astype(np.int64)).sum())
+
+                for q in cands:
+                    if q in seen:
+                        continue
+                    seen.add(q)
+                    sad = _sad(q)
+                    if best_l is None or sad < best_l[0]:
+                        best_l = (sad, q)
+                for step in (2, 1):
+                    qx, qy = best_l[1]
+                    for dy in (-step, 0, step):
+                        for dx in (-step, 0, step):
+                            q = (qx + dx, qy + dy)
+                            if q in seen:
+                                continue
+                            seen.add(q)
+                            sad = _sad(q)
+                            if sad < best_l[0]:
+                                best_l = (sad, q)
+                return best_l[1], mvp
+
+            def _mb_pred(li, mv):
+                rY_, rCb_, rCr_ = refs[li]
+                return (_mc_luma(rY_, yx, yy, mv),
+                        _mc_chroma(rCb_, cx, cy, mv),
+                        _mc_chroma(rCr_, cx, cy, mv))
+
+            mv0, mvp0 = _list_best(0)
+            mv1, mvp1 = _list_best(1)
+            p0, p1 = _mb_pred(0, mv0), _mb_pred(1, mv1)
+
+            def _avg(a, b):
+                return tuple(
+                    ((x.astype(np.int64) + y + 1) >> 1).astype(np.uint8)
+                    for x, y in zip(a, b))
+
+            trials = [
+                (1, p0, [(0, mv0, mvp0)], 10),            # B_L0_16x16
+                (2, p1, [(1, mv1, mvp1)], 10),            # B_L1_16x16
+                # B_Bi from the two single-list winners...
+                (3, _avg(p0, p1), [(0, mv0, mvp0), (1, mv1, mvp1)], 12),
+            ]
+            if (mv0, mv1) != (mvp0, mvp1):
+                # ...and from the zero-mvd predictor pair: the average
+                # can be exact at the predictors even when neither
+                # single-list SAD favors them (each list alone sees the
+                # OTHER anchor's half of the difference as noise)
+                trials.append(
+                    (3, _avg(_mb_pred(0, mvp0), _mb_pred(1, mvp1)),
+                     [(0, mvp0, mvp0), (1, mvp1, mvp1)], 12))
+            best = None
+            for mbt, pred, mvrecs, head in trials:
+                predY, predCb, predCr = pred
+                predY64 = predY.astype(np.int64)
+                blocks4 = []
+                for blk, (ox, oy) in enumerate(hr.LUMA_BLOCK_ORDER):
+                    res = oY64[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4] \
+                        - predY64[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4]
+                    blocks4.append(hr.mat_to_scan(
+                        hr.quant4x4(hr.fwd4x4(res), qp)))
+                cbp_luma4 = 0
+                for i8 in range(4):
+                    if any(blocks4[i8 * 4 + i4].any() for i4 in range(4)):
+                        cbp_luma4 |= 1 << i8
+                dcCb, acCb = hr.transform_quant_chroma8(oCb, predCb, qpc)
+                dcCr, acCr = hr.transform_quant_chroma8(oCr, predCr, qpc)
+                if any(a.any() for a in acCb) \
+                        or any(a.any() for a in acCr):
+                    cbp_chroma = 2
+                elif dcCb.any() or dcCr.any():
+                    cbp_chroma = 1
+                else:
+                    cbp_chroma = 0
+                zero_l = [np.zeros(16, dtype=np.int64)] * 16
+                rY = _recon_luma_blocks4(
+                    predY, blocks4 if cbp_luma4 else zero_l, qp)
+                rCb = hr.recon_chroma8(
+                    predCb,
+                    dcCb if cbp_chroma else np.zeros((2, 2), np.int64),
+                    acCb if cbp_chroma == 2 else None, qpc)
+                rCr = hr.recon_chroma8(
+                    predCr,
+                    dcCr if cbp_chroma else np.zeros((2, 2), np.int64),
+                    acCr if cbp_chroma == 2 else None, qpc)
+                imad = max(
+                    float(np.abs(oY64 - rY.astype(np.int64)).mean()),
+                    (float(np.abs(oCb.astype(np.int64)
+                                  - rCb.astype(np.int64)).mean())
+                     + float(np.abs(oCr.astype(np.int64)
+                                    - rCr.astype(np.int64)).mean())) / 2.0)
+                nnz = sum(int(np.count_nonzero(b)) for b in blocks4) \
+                    + int(np.count_nonzero(dcCb)) \
+                    + int(np.count_nonzero(dcCr)) \
+                    + sum(int(np.count_nonzero(a)) for a in acCb) \
+                    + sum(int(np.count_nonzero(a)) for a in acCr)
+                ssd = float(((oY64 - rY.astype(np.int64)) ** 2).sum())
+                mv_rate = sum(abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])
+                              for _li, mv, mvp in mvrecs)
+                j = ssd + lam * (head + mv_rate + 6 * nnz)
+                cand = dict(mbt=mbt, mvrecs=mvrecs, blocks4=blocks4,
+                            cbp_luma4=cbp_luma4,
+                            cbp=cbp_luma4 | (cbp_chroma << 4),
+                            cbp_chroma=cbp_chroma, dcCb=dcCb, acCb=acCb,
+                            dcCr=dcCr, acCr=acCr, rY=rY, rCb=rCb,
+                            rCr=rCr, imad=imad, j=j)
+                if best is None or j < best["j"]:
+                    best = cand
+            i16 = _try_i16_in_p(oY, oCb, oCr, recY, recCb, recCr,
+                                yx, yy, cx, cy, qp, qpc)
+            use_intra = (i16 is not None and pcm_mad >= 0
+                         and i16["j"] < best["j"]
+                         and i16["mad"] <= pcm_mad)
+            inter_ok = pcm_mad >= 0 and best["imad"] <= pcm_mad
+            w.ue(0)  # mb_skip_run (B_Skip never emitted)
+            if not use_intra and inter_ok:
+                w.ue(best["mbt"])
+                for _li, mv, mvp in best["mvrecs"]:
+                    w.se(mv[0] - mvp[0])
+                    w.se(mv[1] - mvp[1])
+                w.ue(_CBP_INTER_INV[best["cbp"]])
+                if best["cbp"]:
+                    w.se(0)  # mb_qp_delta
+                    _write_i4_luma_residual(w, ctx, mbx, mby,
+                                            best["blocks4"],
+                                            best["cbp_luma4"])
+                    _write_chroma_residual(w, ctx, mbx, mby,
+                                           best["dcCb"], best["acCb"],
+                                           best["dcCr"], best["acCr"],
+                                           best["cbp_chroma"])
+                recY[yy:yy + 16, yx:yx + 16] = best["rY"]
+                recCb[cy:cy + 8, cx:cx + 8] = best["rCb"]
+                recCr[cy:cy + 8, cx:cx + 8] = best["rCr"]
+                for li, mv, _mvp in best["mvrecs"]:
+                    mvs4b[li][by0:by0 + 4, bx0:bx0 + 4] = mv
+                    ref4b[li][by0:by0 + 4, bx0:bx0 + 4] = 0
+            elif use_intra or (i16 is not None and pcm_mad >= 0
+                               and i16["mad"] <= pcm_mad):
+                _emit_i16_in_p(w, ctx, mbx, mby, i16, offset=23)
+                recY[yy:yy + 16, yx:yx + 16] = i16["rY"]
+                recCb[cy:cy + 8, cx:cx + 8] = i16["rCb"]
+                recCr[cy:cy + 8, cx:cx + 8] = i16["rCr"]
+            else:
+                w.ue(23 + 25)                # I_PCM in a B slice
+                w.align()
+                w.bytes_(oY.tobytes())
+                w.bytes_(oCb.tobytes())
+                w.bytes_(oCr.tobytes())
+                ctx.mark_pcm(mbx, mby)
+                recY[yy:yy + 16, yx:yx + 16] = oY
+                recCb[cy:cy + 8, cx:cx + 8] = oCb
+                recCr[cy:cy + 8, cx:cx + 8] = oCr
+            decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+    return bytes([0x01]) + w.rbsp()
+
+
+def encode_gop_b(frames, qp: int = 26, pcm_mad: float = 4.0,
+                 search: int = 8) -> list[bytes]:
+    """Encode display-order frames as an IDR-led GOP with one
+    NON-REFERENCE B picture between consecutive anchors (display
+    I0 B1 P2 B3 P4 ...; decode order I0 P2 B1 P4 B3 ...).  Returns the
+    DECODE-order NAL list; ``decode_gop`` reorders output back to
+    display order via POC.  Each B predicts from the two surrounding
+    anchor reconstructions (L0 = past, L1 = future), so the stream's
+    SPS must declare max_num_ref_frames >= 2 (decode with
+    ``encode_sps(..., max_num_ref_frames=2)``)."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("no frames")
+    h, w_, _ = frames[0].shape
+    from .mp4 import encode_pps, encode_sps, parse_pps, parse_sps
+    sps = parse_sps(encode_sps(w_, h, fps=10.0, max_num_ref_frames=2))
+    pps = parse_pps(encode_pps(deblocking_control=True))
+    out = [encode_iframe(frames[0], pcm_mad=pcm_mad, qp=qp)]
+    prev_rec = _decode_slice(out[0], sps, pps, None)
+    prev_disp = 0
+    fn = 1
+    for disp in range(2, len(frames), 2):
+        nal = encode_pframe(frames[disp], prev_rec, qp=qp,
+                            pcm_mad=pcm_mad, frame_num=fn,
+                            search=search, poc=2 * disp)
+        out.append(nal)
+        rec = _decode_slice(nal, sps, pps, prev_rec)
+        out.append(encode_bframe(frames[disp - 1], prev_rec, rec,
+                                 qp=qp, pcm_mad=pcm_mad, frame_num=fn,
+                                 poc=disp - 1, search=search))
+        prev_rec, prev_disp, fn = rec, disp, fn + 1
+    if len(frames) % 2 == 0:  # trailing display frame has no future
+        disp = len(frames) - 1
+        out.append(encode_pframe(frames[disp], prev_rec, qp=qp,
+                                 pcm_mad=pcm_mad, frame_num=fn,
+                                 search=search, poc=2 * disp))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -1540,17 +1819,44 @@ def decode_gop(nals: list[bytes], sps: dict, pps: dict,
     """Decode an IDR-led group of pictures (I/P slice NALs, decode
     order) to a list of (h, w, 3) RGB frames, threading each decoded
     picture as the next one's reference."""
-    out = []
-    dpb: list = []
+    entries = []
+    dpb: list = []  # (poc, planes), most recently decoded first
     n_refs = max(1, sps.get("max_num_ref_frames", 1))
     for nal in nals:
         if (nal[0] & 0x1F) == 5:
             dpb.clear()  # IDR resets the reference picture buffer
-        planes = _decode_slice(nal, sps, pps, dpb or None, stats)
-        dpb.insert(0, planes)
-        del dpb[n_refs:]
-        out.append(yuv420_to_rgb(*_crop_planes(planes, sps)))
-    return out
+        st5, poc = _slice_header_peek(nal, sps)
+        if st5 == 1:  # B: default lists split around this picture's POC
+            l0 = [e[1] for e in sorted((e for e in dpb if e[0] < poc),
+                                       key=lambda e: -e[0])]
+            l1 = [e[1] for e in sorted((e for e in dpb if e[0] > poc),
+                                       key=lambda e: e[0])]
+            planes = _decode_slice(nal, sps, pps, (l0, l1), stats)
+        else:
+            refs = [e[1] for e in dpb]
+            planes = _decode_slice(nal, sps, pps, refs or None, stats)
+        if (nal[0] >> 5) & 3:  # nal_ref_idc: reference pictures only
+            dpb.insert(0, (poc, planes))
+            del dpb[n_refs:]
+        entries.append((poc, yuv420_to_rgb(*_crop_planes(planes, sps))))
+    # DISPLAY order (PicOrderCnt); equals decode order for all-P GOPs
+    entries.sort(key=lambda e: e[0])
+    return [rgb for _poc, rgb in entries]
+
+
+def _slice_header_peek(nal: bytes, sps: dict) -> tuple[int, int]:
+    """(slice_type %% 5, pic_order_cnt_lsb) from a slice header — the
+    two fields decode_gop needs for reference-list construction and
+    display-order output, without decoding the slice."""
+    r = _BitReader(_unescape_rbsp(nal[1:]))
+    r.ue()  # first_mb_in_slice
+    st5 = r.ue() % 5
+    r.ue()  # pic_parameter_set_id
+    r.u(sps["log2_max_frame_num"])  # frame_num
+    if (nal[0] & 0x1F) == 5:
+        r.ue()  # idr_pic_id
+    poc = r.u(sps["log2_max_poc_lsb"]) if sps["poc_type"] == 0 else 0
+    return st5, poc
 
 
 def _crop_planes(planes, sps: dict):
@@ -1581,12 +1887,13 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
     if r.ue() != 0:
         raise NotImplementedError("multi-slice pictures unsupported")
     slice_type = r.ue()
-    is_p = slice_type % 5 == 0
-    if slice_type % 5 not in (0, 2):  # 2/7 = I, 0/5 = P
+    st5 = slice_type % 5
+    is_p, is_b = st5 == 0, st5 == 1
+    if st5 not in (0, 1, 2):  # 2/7 = I, 0/5 = P, 1/6 = B
         raise NotImplementedError(
-            f"only I and P slices supported (slice_type {slice_type})")
-    if is_p and ref is None:
-        raise ValueError("P slice needs a reference picture")
+            f"only I, P and B slices supported (slice_type {slice_type})")
+    if (is_p or is_b) and ref is None:
+        raise ValueError("P/B slice needs reference pictures")
     r.ue()  # pic_parameter_set_id
     r.u(sps["log2_max_frame_num"])  # frame_num
     if not sps.get("frame_mbs_only", 1):
@@ -1600,15 +1907,29 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
             r.se()
     if pps.get("redundant_pic_cnt_present"):
         r.ue()
-    n_active = 1 + pps.get("num_ref_idx_l0_default_active_minus1", 0)
-    if is_p:
+    if is_b:
+        r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs in subset)
+    n_active = pps.get("num_ref_idx_l0_default", 1)
+    n_active_l1 = pps.get("num_ref_idx_l1_default", 1)
+    if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override_flag
             n_active = 1 + r.ue()  # num_ref_idx_l0_active_minus1
+            if is_b:
+                n_active_l1 = 1 + r.ue()
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError(
                 "reference list modification unsupported")
-        if pps.get("weighted_pred"):
+        if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
+            raise NotImplementedError(
+                "reference list modification unsupported")
+        if is_p and pps.get("weighted_pred"):
             raise NotImplementedError("weighted prediction unsupported")
+        if is_b and pps.get("weighted_bipred_idc", 0):
+            raise NotImplementedError(
+                "weighted biprediction unsupported (implicit/explicit)")
+        if is_b and (n_active > 1 or n_active_l1 > 1):
+            raise NotImplementedError(
+                "multiple references per list in B slices unsupported")
     nal_ref_idc = (nal[0] >> 5) & 3
     if nal_ref_idc:  # dec_ref_pic_marking
         if idr:
@@ -1649,6 +1970,21 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
         refY, refCb, refCr = refs[0]
         mvs4 = np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
         ref4 = np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
+    if is_b:
+        if (not isinstance(ref, tuple) or len(ref) != 2
+                or (ref[0] is not None and isinstance(ref[0], np.ndarray))):
+            raise ValueError(
+                "B slice needs (past_list, future_list) reference lists")
+        l0_list, l1_list = ref
+        if not l0_list or not l1_list:
+            raise ValueError(
+                "B slice needs a past (L0) and a future (L1) reference")
+        bi_refs = (l0_list[0], l1_list[0])
+        # per-list MV state (the 8.4.1.3 prediction runs per list)
+        mvs4b = [np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int32)
+                 for _ in range(2)]
+        ref4b = [np.full((mbs_h * 4, mbs_w * 4), -1, dtype=np.int8)
+                 for _ in range(2)]
 
     def _bump(key):
         if stats is not None:
@@ -1657,6 +1993,10 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
     n_mbs = mbs_w * mbs_h
     addr = 0
     while addr < n_mbs:
+        if is_b:
+            if r.ue():  # mb_skip_run: B_Skip decodes via direct inference
+                raise NotImplementedError(
+                    "B_Skip (direct-mode inference) unsupported")
         if is_p:
             run = r.ue()
             if addr + run > n_mbs:
@@ -1776,6 +2116,63 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                     _bump("multiref")
                 continue
             mb_type -= 5  # intra MB in a P slice (Table 7-13 offset)
+        if is_b:
+            if mb_type < 23:  # inter B MB (Table 7-14 mb_type column)
+                if mb_type == 0:
+                    raise NotImplementedError(
+                        "B_Direct_16x16 (direct prediction) unsupported")
+                if mb_type > 3:
+                    raise NotImplementedError(
+                        "B partitions below 16x16 unsupported")
+                use_l = (mb_type in (1, 3), mb_type in (2, 3))  # L0, L1
+                mvds_b = [(r.se(), r.se()) if u else None for u in use_l]
+                code_num = r.ue()
+                if code_num > 47:
+                    raise ValueError(
+                        f"invalid coded_block_pattern {code_num}")
+                cbp = _CBP_INTER[code_num]
+                cbp_luma4, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp:
+                    qp = (qp + r.se() + 52) % 52
+                qpc = hr.chroma_qp(qp, qp_offset)
+                blocks4 = _read_i4_luma_residual(r, ctx, mbx, mby,
+                                                 cbp_luma4)
+                dcCb, acCb, dcCr, acCr = _read_chroma_residual(
+                    r, ctx, mbx, mby, cbp_chroma)
+                preds = []
+                frac = False
+                for li in (0, 1):
+                    if not use_l[li]:
+                        continue
+                    mvp = _mv_pred(mvs4b[li], ref4b[li], decoded,
+                                   bx0, by0, 4)
+                    mv = (mvp[0] + mvds_b[li][0], mvp[1] + mvds_b[li][1])
+                    frac = frac or bool(mv[0] & 3 or mv[1] & 3)
+                    rY_, rCb_, rCr_ = bi_refs[li]
+                    preds.append((
+                        _mc_luma(rY_, yx, yy, mv),
+                        _mc_chroma(rCb_, cx, cy, mv),
+                        _mc_chroma(rCr_, cx, cy, mv)))
+                    mvs4b[li][by0:by0 + 4, bx0:bx0 + 4] = mv
+                    ref4b[li][by0:by0 + 4, bx0:bx0 + 4] = 0
+                if len(preds) == 2:  # default biprediction: average
+                    predY, predCb, predCr = (
+                        ((a.astype(np.int64) + b + 1) >> 1).astype(np.uint8)
+                        for a, b in zip(preds[0], preds[1]))
+                else:
+                    predY, predCb, predCr = preds[0]
+                recY[yy:yy + 16, yx:yx + 16] = _recon_luma_blocks4(
+                    predY, blocks4, qp)
+                recCb[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
+                    predCb, dcCb, acCb, qpc)
+                recCr[cy:cy + 8, cx:cx + 8] = hr.recon_chroma8(
+                    predCr, dcCr, acCr, qpc)
+                decoded[by0:by0 + 4, bx0:bx0 + 4] = True
+                _bump({1: "b_l0", 2: "b_l1", 3: "b_bi"}[mb_type])
+                if frac:
+                    _bump("qpel")
+                continue
+            mb_type -= 23  # intra MB in a B slice (Table 7-14 offset)
         if mb_type == 25:  # I_PCM
             r.align()
             recY[yy:yy + 16, yx:yx + 16] = np.frombuffer(

@@ -399,9 +399,9 @@ def parse_pps(nal: bytes) -> dict:
     if out["num_slice_groups"] != 1:
         raise NotImplementedError("slice groups (FMO) unsupported")
     out["num_ref_idx_l0_default"] = r.ue() + 1
-    r.ue()  # num_ref_idx_l1_default_active_minus1
+    out["num_ref_idx_l1_default"] = r.ue() + 1
     out["weighted_pred"] = r.u(1)
-    r.u(2)  # weighted_bipred_idc
+    out["weighted_bipred_idc"] = r.u(2)
     out["pic_init_qp"] = 26 + r.se()
     r.se()  # pic_init_qs_minus26
     out["chroma_qp_index_offset"] = r.se()

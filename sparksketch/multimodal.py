@@ -23,11 +23,13 @@ Decode support has three tiers:
    now decode for real too (sparksketch/h264.py: slice headers,
    macroblock layer, I_PCM + Intra_16x16 + Intra_4x4 with full CAVLC
    coefficient residuals via sparksketch/h264_residual.py,
-   ``h264_frame_features`` below, plus P slices: P_Skip, the full
+   ``h264_frame_features`` below, plus P slices — P_Skip, the full
    partition tree down to 4x4 sub-blocks, multiple reference pictures,
-   and quarter-sample luma / eighth-sample chroma motion compensation
-   so IDR-led GOPs decode end-to-end); B slices / CABAC / deblocking /
-   H.265 remain the documented seam a full codec library would fill.
+   quarter-sample luma / eighth-sample chroma motion compensation —
+   and B slices (L0/L1/Bi 16x16, POC-split lists, display reordering)
+   so IDR-led GOPs decode end-to-end); B direct modes / weighted
+   prediction / CABAC / deblocking / H.265 remain the documented seam
+   a full codec library would fill.
 """
 
 from __future__ import annotations
