@@ -40,10 +40,13 @@ signalling (8.3.1.1) with decode-order sample availability, per-MB QP
 tracking via mb_qp_delta, and the chroma QP mapping of Table 8-15.
 Anything OUTSIDE the subset raises NotImplementedError naming the
 feature: the remaining seam is B direct/skip modes and sub-16x16 B
-partitions, weighted prediction, CABAC, and the loop filter.  Inside
-the subset as of round 5: B slices (B_L0_16x16 / B_L1_16x16 /
-B_Bi_16x16 with default-average biprediction, non-reference NALs,
-POC-split reference lists, display-order reordering in decode_gop); quarter-sample luma motion
+partitions, weighted BIprediction (the B-slice variant), CABAC, and
+the loop filter.  Inside the subset as of round 5: explicit weighted
+prediction for P slices (pred_weight_table 7.3.5.4, the 8.4.2.3.2
+sample op, an auto least-squares fade fit); B slices (B_L0_16x16 /
+B_L1_16x16 / B_Bi_16x16 with default-average biprediction,
+non-reference NALs, POC-split reference lists, display-order
+reordering in decode_gop); quarter-sample luma motion
 (8.4.2.2.1: the 6-tap half-sample filter, the two-stage center sample,
 Table 8-12 quarter averaging); the full P-slice partition tree —
 P_16x8 / P_8x16 (Table 7-13) and P_8x8 with 8x8 / 8x4 / 4x8 / 4x4
@@ -486,6 +489,18 @@ def _mc_chroma(ref: np.ndarray, cx0: int, cy0: int,
     d = win[1:, 1:]
     return (((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
              + (8 - xf) * yf * c + xf * yf * d + 32) >> 6).astype(np.uint8)
+
+
+def _wp_apply(pred: np.ndarray, w_: int, o_: int, d: int) -> np.ndarray:
+    """Explicit weighted-prediction sample op (spec 8.4.2.3.2, single
+    list): ((p*w + 2^(d-1)) >> d) + o, clipped — applied AFTER
+    interpolation."""
+    p = pred.astype(np.int64)
+    if d > 0:
+        p = ((p * w_ + (1 << (d - 1))) >> d) + o_
+    else:
+        p = p * w_ + o_
+    return np.clip(p, 0, 255).astype(np.uint8)
 
 
 def _nb_blk(mvs4: np.ndarray, ref4: np.ndarray, decoded: np.ndarray,
@@ -1039,7 +1054,8 @@ def _emit_i16_in_p(w: _BitWriter, ctx: _CoeffCtx, mbx: int, mby: int,
 def encode_pframe(rgb: np.ndarray,
                   ref,
                   qp: int = 26, pcm_mad: float = 4.0, frame_num: int = 1,
-                  search: int = 8, poc: int | None = None) -> bytes:
+                  search: int = 8, poc: int | None = None,
+                  weighted=None) -> bytes:
     """Encode one RGB frame as a P slice NAL (header byte 0x61) against
     ``ref`` — the UNCROPPED reconstructed planes of the previous frame,
     or a LIST of such plane tuples (reference list L0, index 0 = most
@@ -1055,7 +1071,15 @@ def encode_pframe(rgb: np.ndarray,
     Intra_16x16 fallback when motion compensation misses ``pcm_mad``;
     lossless I_PCM as the last resort.  Intra_4x4 inside P slices is
     decoder-only.  The encoder reconstructs through the decoder's own
-    functions, so decode keeps the bit-identity contract."""
+    functions, so decode keeps the bit-identity contract.
+
+    ``weighted``: explicit weighted prediction (spec 8.4.2.3.2 — the
+    fade tool).  ``"auto"`` least-squares-fits a per-reference luma
+    (weight, offset) at denom 2^5 plus chroma mean offsets;
+    or pass ``(luma_log2_denom, chroma_log2_denom, [per-ref
+    (lw, lo, cwb, cob, cwr, cor)])`` explicitly.  The stream then
+    carries a pred_weight_table and MUST be decoded with a PPS whose
+    weighted_pred_flag is set (mp4.encode_pps(weighted_pred=True))."""
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("encode_pframe expects (h, w, 3) RGB")
     if not 0 <= qp <= 51:
@@ -1089,6 +1113,49 @@ def encode_pframe(rgb: np.ndarray,
             return 1
         return 2 * int(ri + 1).bit_length() - 1
 
+    if weighted == "auto":
+        # least-squares luma fade fit per reference: a = cov/var,
+        # b = mean residual; chroma rides on mean offsets
+        wl = []
+        Yf = Y.astype(np.float64)
+        for rY_, rCb_, rCr_ in refs:
+            rf = rY_.astype(np.float64)
+            var = float(rf.var())
+            a = (float(((Yf - Yf.mean()) * (rf - rf.mean())).mean())
+                 / var if var > 1e-9 else 1.0)
+            lw = int(np.clip(round(a * 32), -127, 127))
+            lo = int(np.clip(round(float(Yf.mean())
+                                   - lw * float(rf.mean()) / 32.0),
+                             -127, 127))
+            cob = int(np.clip(round(float(Cb.mean())
+                                    - float(rCb_.astype(np.float64)
+                                            .mean())), -127, 127))
+            cor = int(np.clip(round(float(Cr.mean())
+                                    - float(rCr_.astype(np.float64)
+                                            .mean())), -127, 127))
+            wl.append((lw, lo, 32, cob, 32, cor))
+        weighted = (5, 5, wl)
+    if weighted is not None:
+        if len(weighted[2]) != n_refs:
+            raise ValueError(
+                f"weighted needs one entry per reference "
+                f"({n_refs}), got {len(weighted[2])}")
+
+    def _wle(p, ri):
+        """Weight a luma prediction for reference ``ri`` (encoder side;
+        no-op without weights)."""
+        if weighted is None:
+            return p
+        return _wp_apply(p, weighted[2][ri][0], weighted[2][ri][1],
+                         weighted[0])
+
+    def _wce(p, ri, comp):
+        if weighted is None:
+            return p
+        w_, o_ = (weighted[2][ri][2 + 2 * comp],
+                  weighted[2][ri][3 + 2 * comp])
+        return _wp_apply(p, w_, o_, weighted[1])
+
     w = _BitWriter()
     w.ue(0)                      # first_mb_in_slice
     w.ue(5)                      # slice_type: P (all slices)
@@ -1104,6 +1171,26 @@ def encode_pframe(rgb: np.ndarray,
     else:
         w.u(0, 1)                # num_ref_idx_active_override_flag
     w.u(0, 1)                    # ref_pic_list_modification_flag_l0
+    if weighted is not None:     # pred_weight_table (7.3.5.4)
+        ld, cd, wl = weighted
+        w.ue(ld)
+        w.ue(cd)
+        for lw, lo, cwb, cob, cwr, cor in wl:
+            if lw == 1 << ld and lo == 0:
+                w.u(0, 1)        # luma_weight_l0_flag
+            else:
+                w.u(1, 1)
+                w.se(lw)
+                w.se(lo)
+            if (cwb == 1 << cd and cob == 0
+                    and cwr == 1 << cd and cor == 0):
+                w.u(0, 1)        # chroma_weight_l0_flag
+            else:
+                w.u(1, 1)
+                w.se(cwb)
+                w.se(cob)
+                w.se(cwr)
+                w.se(cor)
     w.u(0, 1)                    # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)                # slice_qp_delta
     w.ue(1)                      # disable_deblocking_filter_idc
@@ -1122,7 +1209,7 @@ def encode_pframe(rgb: np.ndarray,
             lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
 
             def _search_part(px, py, bw_, bh_, centers, radius, ref64,
-                             first=()):
+                             ri=0, first=()):
                 """Integer exhaustive search around each center, then
                 half- and quarter-sample refinement rings around the
                 winner (the classic two-stage fractional search), against
@@ -1140,8 +1227,8 @@ def encode_pframe(rgb: np.ndarray,
 
                 def _sad(q):
                     return int(np.abs(
-                        o - _mc_luma(ref64, px, py, q, (bh_, bw_))
-                        .astype(np.int64)).sum())
+                        o - _wle(_mc_luma(ref64, px, py, q, (bh_, bw_)),
+                                 ri).astype(np.int64)).sum())
 
                 for q in cands:
                     if q in seen:
@@ -1207,7 +1294,7 @@ def encode_pframe(rgb: np.ndarray,
                         if shape == "16x16":
                             mv_p, sad = _search_part(
                                 px, py, 16, 16, [c0], search, refY64s[ri],
-                                first=[skipmv] if ri == 0 else ())
+                                ri, first=[skipmv] if ri == 0 else ())
                         else:
                             # sub-partition searches center on the
                             # partition's own predictor, the 16x16
@@ -1222,7 +1309,7 @@ def encode_pframe(rgb: np.ndarray,
                                        (0, 0)]
                             mv_p, sad = _search_part(
                                 px, py, wb * 4, hb * 4, centers, 3,
-                                refY64s[ri])
+                                refY64s[ri], ri)
                         cost = sad + lam_s * _ref_bits(ri)
                         if best_r is None or cost < best_r[0]:
                             best_r = (cost, mv_p, mvp_p, ri)
@@ -1236,14 +1323,14 @@ def encode_pframe(rgb: np.ndarray,
                 def _commit(tag, ox, oy, wb, hb, mv_p, mvd, ri):
                     rY_, rCb_, rCr_ = refs[ri]
                     predY[oy * 4:oy * 4 + hb * 4, ox * 4:ox * 4 + wb * 4] \
-                        = _mc_luma(rY_, yx + ox * 4, yy + oy * 4, mv_p,
-                                   (hb * 4, wb * 4))
+                        = _wle(_mc_luma(rY_, yx + ox * 4, yy + oy * 4,
+                                        mv_p, (hb * 4, wb * 4)), ri)
                     predCb[oy * 2:oy * 2 + hb * 2, ox * 2:ox * 2 + wb * 2] \
-                        = _mc_chroma(rCb_, cx + ox * 2, cy + oy * 2,
-                                     mv_p, (hb * 2, wb * 2))
+                        = _wce(_mc_chroma(rCb_, cx + ox * 2, cy + oy * 2,
+                                          mv_p, (hb * 2, wb * 2)), ri, 0)
                     predCr[oy * 2:oy * 2 + hb * 2, ox * 2:ox * 2 + wb * 2] \
-                        = _mc_chroma(rCr_, cx + ox * 2, cy + oy * 2,
-                                     mv_p, (hb * 2, wb * 2))
+                        = _wce(_mc_chroma(rCr_, cx + ox * 2, cy + oy * 2,
+                                          mv_p, (hb * 2, wb * 2)), ri, 1)
                     bx, by = bx0 + ox, by0 + oy
                     t_mvs[by:by + hb, bx:bx + wb] = mv_p
                     t_ref[by:by + hb, bx:bx + wb] = ri
@@ -1472,7 +1559,8 @@ def encode_pframe(rgb: np.ndarray,
 
 
 def encode_gop(frames, qp: int = 26, pcm_mad: float = 4.0,
-               search: int = 8, n_refs: int = 1) -> list[bytes]:
+               search: int = 8, n_refs: int = 1,
+               weighted=None) -> list[bytes]:
     """Encode frames as an IDR-led GOP: frame 0 via encode_iframe, the
     rest as P slices, threading each frame's DECODED reconstruction
     through a sliding-window DPB of the last ``n_refs`` pictures
@@ -1491,12 +1579,14 @@ def encode_gop(frames, qp: int = 26, pcm_mad: float = 4.0,
     from .mp4 import encode_pps, encode_sps, parse_pps, parse_sps
     sps = parse_sps(encode_sps(w_, h, fps=10.0,
                                max_num_ref_frames=n_refs))
-    pps = parse_pps(encode_pps(deblocking_control=True))
+    pps = parse_pps(encode_pps(deblocking_control=True,
+                               weighted_pred=weighted is not None))
     out = [encode_iframe(frames[0], pcm_mad=pcm_mad, qp=qp)]
     dpb = [_decode_slice(out[0], sps, pps, None)]
     for i, fr in enumerate(frames[1:], start=1):
         nal = encode_pframe(fr, dpb, qp=qp, pcm_mad=pcm_mad,
-                            frame_num=i, search=search)
+                            frame_num=i, search=search,
+                            weighted=weighted)
         out.append(nal)
         dpb.insert(0, _decode_slice(nal, sps, pps, dpb))
         del dpb[n_refs:]
@@ -1922,14 +2012,31 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
             raise NotImplementedError(
                 "reference list modification unsupported")
-        if is_p and pps.get("weighted_pred"):
-            raise NotImplementedError("weighted prediction unsupported")
         if is_b and pps.get("weighted_bipred_idc", 0):
             raise NotImplementedError(
                 "weighted biprediction unsupported (implicit/explicit)")
         if is_b and (n_active > 1 or n_active_l1 > 1):
             raise NotImplementedError(
                 "multiple references per list in B slices unsupported")
+    wp = None
+    if is_p and pps.get("weighted_pred"):
+        # pred_weight_table (7.3.5.4): explicit weighted prediction —
+        # per-reference (weight, offset) pairs, luma + both chroma
+        ld = r.ue()  # luma_log2_weight_denom
+        cd = r.ue()  # chroma_log2_weight_denom
+        if ld > 7 or cd > 7:
+            raise ValueError("log2 weight denom out of range")
+        wlist = []
+        for _ in range(n_active):
+            lw, lo = 1 << ld, 0
+            if r.u(1):  # luma_weight_l0_flag
+                lw, lo = r.se(), r.se()
+            cwb, cob, cwr, cor = 1 << cd, 0, 1 << cd, 0
+            if r.u(1):  # chroma_weight_l0_flag
+                cwb, cob = r.se(), r.se()
+                cwr, cor = r.se(), r.se()
+            wlist.append((lw, lo, cwb, cob, cwr, cor))
+        wp = (ld, cd, wlist)
     nal_ref_idc = (nal[0] >> 5) & 3
     if nal_ref_idc:  # dec_ref_pic_marking
         if idr:
@@ -1990,6 +2097,20 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
         if stats is not None:
             stats[key] = stats.get(key, 0) + 1
 
+    def _wl(p, ri):
+        """Weight a luma prediction for reference ``ri`` (no-op without
+        a pred_weight_table)."""
+        if wp is None:
+            return p
+        return _wp_apply(p, wp[2][ri][0], wp[2][ri][1], wp[0])
+
+    def _wc(p, ri, comp):
+        """Weight a chroma prediction (comp 0 = Cb, 1 = Cr)."""
+        if wp is None:
+            return p
+        w_, o_ = wp[2][ri][2 + 2 * comp], wp[2][ri][3 + 2 * comp]
+        return _wp_apply(p, w_, o_, wp[1])
+
     n_mbs = mbs_w * mbs_h
     addr = 0
     while addr < n_mbs:
@@ -2008,9 +2129,12 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                 cx, cy = mbx * 8, mby * 8
                 bx0, by0 = mbx * 4, mby * 4
                 mv = _skip_mv(mvs4, ref4, decoded, mbx, mby)
-                recY[yy:yy + 16, yx:yx + 16] = _mc_luma(refY, yx, yy, mv)
-                recCb[cy:cy + 8, cx:cx + 8] = _mc_chroma(refCb, cx, cy, mv)
-                recCr[cy:cy + 8, cx:cx + 8] = _mc_chroma(refCr, cx, cy, mv)
+                recY[yy:yy + 16, yx:yx + 16] = _wl(
+                    _mc_luma(refY, yx, yy, mv), 0)
+                recCb[cy:cy + 8, cx:cx + 8] = _wc(
+                    _mc_chroma(refCb, cx, cy, mv), 0, 0)
+                recCr[cy:cy + 8, cx:cx + 8] = _wc(
+                    _mc_chroma(refCr, cx, cy, mv), 0, 1)
                 mvs4[by0:by0 + 4, bx0:bx0 + 4] = mv
                 ref4[by0:by0 + 4, bx0:bx0 + 4] = 0
                 decoded[by0:by0 + 4, bx0:bx0 + 4] = True
@@ -2088,15 +2212,16 @@ def _decode_slice(nal: bytes, sps: dict, pps: dict,
                     multiref = multiref or ri > 0
                     rY_, rCb_, rCr_ = refs[ri]
                     predY[oy * 4:oy * 4 + hb * 4, ox * 4:ox * 4 + wb * 4] \
-                        = _mc_luma(rY_, px, py, mv, (hb * 4, wb * 4))
+                        = _wl(_mc_luma(rY_, px, py, mv,
+                                       (hb * 4, wb * 4)), ri)
                     predCb[oy * 2:oy * 2 + hb * 2,
-                           ox * 2:ox * 2 + wb * 2] = _mc_chroma(
+                           ox * 2:ox * 2 + wb * 2] = _wc(_mc_chroma(
                         rCb_, cx + ox * 2, cy + oy * 2, mv,
-                        (hb * 2, wb * 2))
+                        (hb * 2, wb * 2)), ri, 0)
                     predCr[oy * 2:oy * 2 + hb * 2,
-                           ox * 2:ox * 2 + wb * 2] = _mc_chroma(
+                           ox * 2:ox * 2 + wb * 2] = _wc(_mc_chroma(
                         rCr_, cx + ox * 2, cy + oy * 2, mv,
-                        (hb * 2, wb * 2))
+                        (hb * 2, wb * 2)), ri, 1)
                     mvs4[by:by + hb, bx:bx + wb] = mv
                     ref4[by:by + hb, bx:bx + wb] = ri
                     decoded[by:by + hb, bx:bx + wb] = True

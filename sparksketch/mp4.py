@@ -357,13 +357,16 @@ def encode_sps(width: int, height: int, profile_idc: int = 66,
     return bytes([0x67]) + w.rbsp()
 
 
-def encode_pps(deblocking_control: bool = False) -> bytes:
+def encode_pps(deblocking_control: bool = False,
+               weighted_pred: bool = False) -> bytes:
     """Minimal conformant PPS NAL (CAVLC, one slice group).
 
     ``deblocking_control=True`` sets deblocking_filter_control_present so
     a slice header can legitimately switch the loop filter OFF
     (disable_deblocking_filter_idc=1) — required by sparksketch.h264,
-    whose decoder implements no deblocking."""
+    whose decoder implements no deblocking.  ``weighted_pred=True`` sets
+    weighted_pred_flag so P slice headers carry a pred_weight_table
+    (explicit weighted prediction — fades)."""
     w = _BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -372,7 +375,7 @@ def encode_pps(deblocking_control: bool = False) -> bytes:
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)  # weighted_pred_flag
+    w.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag
     w.u(0, 2)  # weighted_bipred_idc
     w.se(0)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26

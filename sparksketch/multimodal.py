@@ -26,10 +26,11 @@ Decode support has three tiers:
    ``h264_frame_features`` below, plus P slices — P_Skip, the full
    partition tree down to 4x4 sub-blocks, multiple reference pictures,
    quarter-sample luma / eighth-sample chroma motion compensation —
-   and B slices (L0/L1/Bi 16x16, POC-split lists, display reordering)
-   so IDR-led GOPs decode end-to-end); B direct modes / weighted
-   prediction / CABAC / deblocking / H.265 remain the documented seam
-   a full codec library would fill.
+   explicit weighted prediction (fades), and B slices (L0/L1/Bi 16x16,
+   POC-split lists, display reordering) so IDR-led GOPs decode
+   end-to-end); B direct modes / weighted biprediction / CABAC /
+   deblocking / H.265 remain the documented seam a full codec library
+   would fill.
 """
 
 from __future__ import annotations
