@@ -93,6 +93,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "32000000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
 REPS = int(os.environ.get("SPARK_GRAFT_REPS", "7"))
+# wall-clock budget for the SCALING ROUNDS section: stop adding rounds
+# (never mid-round) once exceeded, keeping at least MIN_ROUNDS — an
+# external runner's timeout must truncate the rep count, not kill the
+# whole record mid-flight
+SCALING_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "1800"))
+MIN_ROUNDS = 3
 # fixed across the SCALING PAIR so per-task work is identical.  16 tasks
 # of ~500K turns: the (1->4) ratio's measured non-scaling tail is the
 # partial-blob result ship plus per-task turnaround (tools/xp_tail.py:
@@ -599,7 +605,11 @@ def main() -> None:
     lo, hi = SCALE_LO, 4 * SCALE_LO
     ratio = hi / lo
     rounds = []
+    t_rounds0 = time.monotonic()
     for rep in range(max(REPS, 1)):
+        if rep >= MIN_ROUNDS \
+                and time.monotonic() - t_rounds0 > SCALING_BUDGET_S:
+            break  # budget: truncate reps rather than risk a hard kill
         a = _run_child(["--child-build", str(lo)], pin=_pin_spec(lo))
         b = _run_child(["--child-build", str(hi)], pin=_pin_spec(hi))
         # each child measured its own pinned calibration inside its
@@ -658,6 +668,8 @@ def main() -> None:
         "hw_ceiling": round(_median([r["hw_ceiling"] for r in clean]), 3),
         "hw_ceiling_reps": [r["hw_ceiling"] for r in rounds],
         "rounds": rounds,
+        "rounds_requested": max(REPS, 1),
+        "scaling_budget_s": SCALING_BUDGET_S,
         "n_turns": N_TURNS,
         "input_partitions": N_PARTS,
         "isolation": "fresh subprocess+JVM per (round, level), pinned "
