@@ -1845,7 +1845,6 @@ def encode_gop_b(frames, qp: int = 26, pcm_mad: float = 4.0,
     pps = parse_pps(encode_pps(deblocking_control=True))
     out = [encode_iframe(frames[0], pcm_mad=pcm_mad, qp=qp)]
     prev_rec = _decode_slice(out[0], sps, pps, None)
-    prev_disp = 0
     fn = 1
     for disp in range(2, len(frames), 2):
         nal = encode_pframe(frames[disp], prev_rec, qp=qp,
@@ -1856,7 +1855,7 @@ def encode_gop_b(frames, qp: int = 26, pcm_mad: float = 4.0,
         out.append(encode_bframe(frames[disp - 1], prev_rec, rec,
                                  qp=qp, pcm_mad=pcm_mad, frame_num=fn,
                                  poc=disp - 1, search=search))
-        prev_rec, prev_disp, fn = rec, disp, fn + 1
+        prev_rec, fn = rec, fn + 1
     if len(frames) % 2 == 0:  # trailing display frame has no future
         disp = len(frames) - 1
         out.append(encode_pframe(frames[disp], prev_rec, qp=qp,

@@ -330,3 +330,39 @@ def test_derive_h2_edh_matches_explicit(hs, k, m):
     assert np.array_equal(edh_indices(h1, None, k, m),
                           edh_indices(h1, d, k, m))
     assert np.array_equal(d, derive_h2(h1.copy()))
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**32), mvx=st.integers(-40, 100),
+       mvy=st.integers(-40, 100), x0=st.integers(0, 8),
+       y0=st.integers(0, 8))
+def test_qpel_interp_matches_scalar_spec_reference(seed, mvx, mvy, x0, y0):
+    """The vectorized 8.4.2.2.1 interpolator equals a per-pixel scalar
+    transcription of the spec equations at EVERY sub-position and under
+    arbitrary edge clamping (small reference, displacements far past
+    every border)."""
+    from sparksketch.h264 import _mc_luma
+    from tests.test_h264_qpel import _ref_interp
+    rng = np.random.default_rng(seed)
+    ref = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    xi, xf = mvx >> 2, mvx & 3
+    yi, yf = mvy >> 2, mvy & 3
+    got = _mc_luma(ref, x0, y0, (mvx, mvy), (8, 8))
+    want = np.array(
+        [[_ref_interp(ref, y0 + yi + yy, x0 + xi + xx, xf, yf)
+          for xx in range(8)] for yy in range(8)], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(p=st.integers(0, 255), w=st.integers(-127, 127),
+       o=st.integers(-127, 127), d=st.integers(0, 7))
+def test_wp_apply_matches_spec_formula(p, w, o, d):
+    from sparksketch.h264 import _wp_apply
+    arr = np.full((2, 2), p, dtype=np.uint8)
+    got = int(_wp_apply(arr, w, o, d)[0, 0])
+    if d > 0:
+        want = ((p * w + (1 << (d - 1))) >> d) + o
+    else:
+        want = p * w + o
+    assert got == min(max(want, 0), 255)
