@@ -61,9 +61,11 @@ def bounds_from_sketch(sk, n_buckets: int) -> list[float]:
 
 
 def range_bucket(col: str | Column, bounds: Sequence[float]) -> Column:
-    """Bucket index (0..len(bounds)) for each row — pure-JVM expression:
-    the count of boundaries <= value via a literal-array filter, so the
-    assignment lives inside whole-stage codegen (no UDF, no shuffle)."""
+    """Bucket index (0..len(bounds)) for each row — a pure-JVM
+    higher-order expression (count of boundaries <= value via a
+    literal-array filter): a plain Project over the pruned scan, no
+    Python eval, no UDF, no shuffle.  NULL values compare NULL against
+    every boundary and land in bucket 0."""
     c = F.col(col) if isinstance(col, str) else col
     arr = F.array(*[F.lit(float(b)) for b in bounds])
     return F.size(F.filter(arr, lambda b: c >= b))

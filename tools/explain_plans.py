@@ -263,6 +263,39 @@ def main():
         "anti-join must not re-evaluate the probe UDF per downstream use"
     print("PASS  bloom anti-join keeps one probe eval per branch")
 
+    # -- materialized sketch view: segment restriction is PARTITION
+    # pruning in the scan (round 5) -------------------------------------
+    import tempfile
+    import shutil
+    from sparksketch.agg import BottomKSpec
+    from sparksketch.view import view_append, view_materialize, view_rows
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    vdir = tempfile.mkdtemp(prefix="sparksketch_planview_")
+    try:
+        half = F.xxhash64(F.col("event_id").cast("string")) % 2 == 0
+        spec = BottomKSpec(k=4096)
+        view_materialize(events.filter(half), ["event_type"], spec,
+                         ["user_id"], vdir)
+        view_append(events.filter(~half), spec, ["user_id"], vdir)
+        vplan = plan_of(view_rows(spark, vdir, group_cols=[],
+                                  segments=[0]))
+        ok &= check("sketch view: segment restriction is partition "
+                    "pruning", vplan, ["PartitionFilters", "seg"], [])
+    finally:
+        shutil.rmtree(vdir, ignore_errors=True)
+
+    # -- range_bucket stays inside whole-stage codegen (no Python eval
+    # in the bucket-assignment hot path; round 5) ------------------------
+    from sparksketch.partitioning import range_bucket
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    bplan = plan_of(li.select(
+        range_bucket("l_extendedprice", [901.0, 2201.5, 4401.25])
+        .alias("b")))
+    ok &= check("range_bucket: JVM-only bucket assignment, pruned scan",
+                bplan,
+                ["size(filter(", "ReadSchema: struct<l_extendedprice"],
+                ["BatchEvalPython", "ArrowEvalPython", "mapInPandas"])
+
     spark.stop()
     print("\nALL PLAN CHECKS PASSED" if ok else "\nPLAN CHECKS FAILED")
     sys.exit(0 if ok else 1)
