@@ -147,6 +147,35 @@ class TestSketchView:
         want = _exact(events, ["event_type"])
         assert got == {k[0]: v[0] for k, v in want.items()}
 
+    def test_multi_dim_view_with_null_dim_values(self, spark, events,
+                                                 tmp_path):
+        """Two dims, one with NULLs injected: per-(type, flag) groups,
+        rollup to flag alone, and NULL group keys all survive the
+        segment merge exactly."""
+        path = str(tmp_path / "mdview")
+        ev = events.withColumn(
+            "flag", F.when(F.col("event_id") % 3 == 0, F.lit(None))
+            .otherwise((F.col("event_id") % 2 == 0).cast("string")))
+        h = F.xxhash64(F.col("event_id").cast("string")) % 2 == 0
+        view_materialize(ev.filter(h), ["event_type", "flag"], self.SPEC,
+                         ["user_id"], path)
+        view_append(ev.filter(~h), self.SPEC, ["user_id"], path)
+        got = {(r["event_type"], r["flag"]): r["estimate"]
+               for r in view_query(spark, path).collect()}
+        want = {(r["event_type"], r["flag"]): r["exact"]
+                for r in ev.groupBy("event_type", "flag").agg(
+                    F.countDistinct("user_id").alias("exact")).collect()}
+        assert got == {k: float(v) for k, v in want.items()}
+        assert any(k[1] is None for k in got)  # NULL keys present
+        # rollup to the OTHER dim crosses the dropped-dim boundary
+        got2 = {r["flag"]: r["estimate"]
+                for r in view_query(spark, path,
+                                    group_cols=["flag"]).collect()}
+        want2 = {r["flag"]: r["exact"]
+                 for r in ev.groupBy("flag").agg(
+                     F.countDistinct("user_id").alias("exact")).collect()}
+        assert got2 == {k: float(v) for k, v in want2.items()}
+
     def test_hll_view_within_bound(self, spark, events, tmp_path):
         """Approximate-regime kind through the same lifecycle: HLL
         estimates after materialize+append stay inside the 3-sigma
