@@ -60,3 +60,20 @@ class TestSketchViewDataSource:
     def test_missing_path_rejected(self, spark, view_path):
         with pytest.raises(Exception, match="path"):
             spark.read.format("sketchview").load().collect()
+
+    def test_null_dim_values_survive(self, spark, sf_dir,
+                                     tmp_path_factory):
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        path = str(tmp_path_factory.mktemp("dsn") / "view")
+        ev = events.withColumn(
+            "flag", F.when(F.col("event_id") % 3 == 0, F.lit(None))
+            .otherwise(F.lit("x")))
+        view_materialize(ev, ["flag"], BottomKSpec(k=65536),
+                         ["user_id"], path)
+        got = {r["flag"]: r["estimate"]
+               for r in (spark.read.format("sketchview")
+                         .option("path", path).load()).collect()}
+        want = {r["flag"]: float(r["exact"])
+                for r in ev.groupBy("flag").agg(
+                    F.countDistinct("user_id").alias("exact")).collect()}
+        assert got == want and None in got
