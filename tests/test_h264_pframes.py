@@ -294,3 +294,61 @@ class TestPDecoderGuards:
         w.ue(9)      # mb_skip_run = 9 in a 1-MB picture
         with pytest.raises(ValueError, match="overrun"):
             decode_pframe_planes(bytes([0x61]) + w.rbsp(), sps, pps, ref)
+
+
+class TestGopFuzz:
+    def test_random_gops_across_feature_matrix(self):
+        """Randomized encode/decode sweeps across frame sizes, qp,
+        reference counts, GOP patterns, and weighted prediction: every
+        stream must decode with bounded error and decode
+        deterministically (two decodes bit-equal).  Catches feature
+        interactions the targeted fixtures miss."""
+        from sparksketch.h264 import decode_gop, encode_gop, encode_gop_b
+        from sparksketch.mp4 import (encode_pps, encode_sps, parse_pps,
+                                     parse_sps)
+        from sparksketch.h264 import rgb_to_yuv420, yuv420_to_rgb
+        rng = np.random.default_rng(113)
+        for trial in range(6):
+            w = int(rng.integers(2, 6)) * 16
+            h = int(rng.integers(2, 5)) * 16
+            qp = int(rng.choice([8, 18, 26, 32]))
+            n_refs = int(rng.integers(1, 4))
+            base = (np.cumsum(rng.integers(0, 4, (h, w)), axis=1)
+                    % 170 + 40).astype(np.uint8)
+            frames = []
+            for f in range(int(rng.integers(2, 6))):
+                dx, dy = int(rng.integers(-3, 4)), int(rng.integers(-2, 3))
+                ys = np.clip(np.arange(h) + dy * f, 0, h - 1)
+                xs = np.clip(np.arange(w) + dx * f, 0, w - 1)
+                fr = base[np.ix_(ys, xs)]
+                if rng.random() < 0.3:  # brightness drift: weighted food
+                    fr = np.clip(fr.astype(np.int64)
+                                 + int(rng.integers(-20, 21)),
+                                 0, 255).astype(np.uint8)
+                frames.append(np.repeat(fr[:, :, None], 3, axis=2))
+            use_b = len(frames) >= 3 and rng.random() < 0.5
+            weighted = "auto" if (not use_b and rng.random() < 0.4) \
+                else None
+            if use_b:
+                nals = encode_gop_b(frames, qp=qp, pcm_mad=6.0)
+                sps = parse_sps(encode_sps(w, h, fps=10.0,
+                                           max_num_ref_frames=2))
+            else:
+                nals = encode_gop(frames, qp=qp, pcm_mad=6.0,
+                                  n_refs=n_refs, weighted=weighted)
+                sps = parse_sps(encode_sps(w, h, fps=10.0,
+                                           max_num_ref_frames=n_refs))
+            pps = parse_pps(encode_pps(
+                deblocking_control=True,
+                weighted_pred=weighted is not None))
+            outs1 = decode_gop(nals, sps, pps)
+            outs2 = decode_gop(nals, sps, pps)
+            assert all(np.array_equal(a, b)
+                       for a, b in zip(outs1, outs2))
+            assert len(outs1) == len(frames)
+            for fr, out in zip(frames, outs1):
+                recon = yuv420_to_rgb(*rgb_to_yuv420(fr))
+                err = np.abs(out.astype(int) - recon.astype(int))
+                assert err.mean() < 7.0, (trial, w, h, qp, n_refs,
+                                          use_b, weighted,
+                                          float(err.mean()))
